@@ -1,0 +1,123 @@
+"""FAST-9/16 corner detection as a fully vectorized array program.
+
+TPU-native replacement for the per-cell ``cv::FAST`` calls in the reference's
+``ORBextractor::ComputeKeyPointsOctTree``
+(/root/reference/src/ORBextractor.cc:765-853). Instead of scalar pixel loops,
+the whole image is processed at once: 16 rolled copies of the image give the
+Bresenham circle, a circular min over 9-windows gives the corner score
+("max threshold for which the pixel stays a corner", matching cv::FAST's
+score), and a 3x3 max-pool gives non-max suppression. Everything fuses into
+a handful of VPU passes under XLA.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Bresenham circle of radius 3, 16 points, circular order (dx, dy), y down.
+CIRCLE_OFFSETS = np.array(
+    [
+        (0, 3), (1, 3), (2, 2), (3, 1), (3, 0), (3, -1), (2, -2), (1, -3),
+        (0, -3), (-1, -3), (-2, -2), (-3, -1), (-3, 0), (-3, 1), (-2, 2), (-1, 3),
+    ],
+    dtype=np.int32,
+)
+
+ARC_LEN = 9  # contiguous arc length for FAST-9
+
+
+def fast_score_map(img: jax.Array, min_threshold: float) -> jax.Array:
+    """Corner-score map. score[y,x] > t  <=>  pixel is a FAST-9 corner at
+    threshold t. Pixels below ``min_threshold`` (and a 3px border) score 0.
+
+    Args:
+      img: (H, W) float32 grayscale.
+      min_threshold: lowest threshold of interest (reference minThFAST=7).
+    """
+    # shifted[k][y, x] = img[y + dy_k, x + dx_k]
+    shifted = jnp.stack(
+        [jnp.roll(img, (-int(dy), -int(dx)), axis=(0, 1)) for dx, dy in CIRCLE_OFFSETS]
+    )
+    d = shifted - img[None]  # (16, H, W)
+
+    def arc_min(x):
+        """m[k] = min(x[k], ..., x[k + ARC_LEN - 1]) circular along axis 0."""
+        m = x
+        # log-doubling windows: 1 -> 2 -> 4 -> 8, then extend 8 to 9.
+        m = jnp.minimum(m, jnp.roll(m, -1, axis=0))   # window 2
+        m = jnp.minimum(m, jnp.roll(m, -2, axis=0))   # window 4
+        m = jnp.minimum(m, jnp.roll(m, -4, axis=0))   # window 8
+        m = jnp.minimum(m, jnp.roll(x, -(ARC_LEN - 1), axis=0))  # window 9
+        return m
+
+    score_bright = jnp.max(arc_min(d), axis=0)    # largest t with a bright arc
+    score_dark = jnp.max(arc_min(-d), axis=0)     # largest t with a dark arc
+    score = jnp.maximum(score_bright, score_dark)
+    score = jnp.where(score > min_threshold, score, 0.0)
+    # kill the 3px border that the rolls wrapped around
+    h, w = img.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (ys >= 3) & (ys < h - 3) & (xs >= 3) & (xs < w - 3)
+    return jnp.where(inside, score, 0.0)
+
+
+def nms3x3(score: jax.Array) -> jax.Array:
+    """3x3 non-max suppression: keep score only at local maxima."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= m, score, 0.0)
+
+
+def detect_cellwise(
+    score: jax.Array,
+    ini_threshold: float,
+    cell: int,
+    k_per_cell: int,
+    border: int,
+):
+    """Spatially-balanced keypoint selection with per-cell threshold fallback.
+
+    Reference semantics (ORBextractor.cc:790-850): each ~30px cell is detected
+    at iniThFAST, and if the cell produced nothing, at minThFAST. Here: if a
+    cell's best score exceeds ``ini_threshold`` only keypoints above it
+    survive; otherwise the lower threshold already baked into ``score``
+    applies. Top-``k_per_cell`` per cell replaces the sequential quadtree
+    (DistributeOctTree, :539) with an equally spatial-uniform, parallel rule.
+
+    Returns (ys, xs, resp) of shape (n_cells * k_per_cell,) — zero-resp
+    entries are invalid.
+    """
+    h, w = score.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (ys >= border) & (ys < h - border) & (xs >= border) & (xs < w - border)
+    score = jnp.where(inside, score, 0.0)
+
+    hp = -(-h // cell) * cell
+    wp = -(-w // cell) * cell
+    sp = jnp.pad(score, ((0, hp - h), (0, wp - w)))
+    nch, ncw = hp // cell, wp // cell
+    cells = sp.reshape(nch, cell, ncw, cell).transpose(0, 2, 1, 3).reshape(
+        nch * ncw, cell * cell
+    )
+    cell_max = jnp.max(cells, axis=1, keepdims=True)
+    eff_th = jnp.where(cell_max > ini_threshold, ini_threshold, 0.0)
+    cells = jnp.where(cells > eff_th, cells, 0.0)
+
+    vals, idx = jax.lax.top_k(cells, k_per_cell)  # (n_cells, k)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (nch * ncw, k_per_cell), 0) // ncw
+    cx = jax.lax.broadcasted_iota(jnp.int32, (nch * ncw, k_per_cell), 0) % ncw
+    py = cy * cell + idx // cell
+    px = cx * cell + idx % cell
+    return py.reshape(-1), px.reshape(-1), vals.reshape(-1)
+
+
+def top_n_keypoints(ys, xs, resp, n: int):
+    """Global top-n by response from the per-cell candidates; invalid entries
+    (resp==0) sort to the end. Returns (ys, xs, resp, valid) each (n,)."""
+    vals, order = jax.lax.top_k(resp, n)
+    return ys[order], xs[order], vals, vals > 0.0
