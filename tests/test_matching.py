@@ -1,0 +1,106 @@
+import jax.numpy as jnp
+import numpy as np
+
+from plslam_tpu.ops import hamming, matching
+
+
+def rand_desc(rng, n):
+    return rng.integers(0, 256, (n, 32), dtype=np.uint8)
+
+
+class TestHamming:
+    def test_matrix_matches_numpy_popcount(self):
+        rng = np.random.default_rng(0)
+        a, b = rand_desc(rng, 64), rand_desc(rng, 96)
+        ours = np.asarray(hamming.hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
+        ref = np.unpackbits(a[:, None, :] ^ b[None, :, :], axis=2).sum(2)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_pairs(self):
+        rng = np.random.default_rng(1)
+        a, b = rand_desc(rng, 50), rand_desc(rng, 50)
+        ours = np.asarray(hamming.hamming_pairs(jnp.asarray(a), jnp.asarray(b)))
+        ref = np.unpackbits(a ^ b, axis=1).sum(1)
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_zero_distance_self(self):
+        rng = np.random.default_rng(2)
+        a = rand_desc(rng, 10)
+        d = np.asarray(hamming.hamming_matrix(jnp.asarray(a), jnp.asarray(a)))
+        assert np.all(np.diag(d) == 0)
+
+
+class TestMatching:
+    def test_best_matches_with_gate(self):
+        rng = np.random.default_rng(3)
+        t = rand_desc(rng, 100)
+        # queries = noisy copies of targets 10..29
+        q = t[10:30].copy()
+        flip = rng.integers(0, 32, (20, 3))
+        for i in range(20):
+            for j in flip[i]:
+                q[i, j] ^= 1 << int(rng.integers(0, 8))
+        dist = hamming.hamming_matrix(jnp.asarray(q), jnp.asarray(t))
+        gate = jnp.ones((20, 100), bool)
+        m = matching.best_matches(dist, gate, max_dist=50)
+        idx = np.asarray(m.idx)
+        assert np.all(idx == np.arange(10, 30))
+        assert int(m.count) == 20
+
+    def test_gate_blocks(self):
+        rng = np.random.default_rng(4)
+        t = rand_desc(rng, 50)
+        q = t[:5].copy()
+        dist = hamming.hamming_matrix(jnp.asarray(q), jnp.asarray(t))
+        gate = jnp.zeros((5, 50), bool)
+        m = matching.best_matches(dist, gate, max_dist=50)
+        assert int(m.count) == 0
+
+    def test_window_gate(self):
+        uv_p = jnp.asarray([[100.0, 100.0], [200.0, 200.0]])
+        uv_t = jnp.asarray([[105.0, 103.0], [300.0, 300.0], [198.0, 201.0]])
+        g = np.asarray(matching.window_gate(uv_p, uv_t, jnp.asarray([10.0, 5.0])))
+        assert g[0, 0] and not g[0, 1] and not g[0, 2]
+        assert g[1, 2] and not g[1, 0]
+
+    def test_ratio_test(self):
+        # two similar targets at distances 8 and 9 -> ratio test kills it
+        q = np.zeros((1, 32), np.uint8)
+        t = np.zeros((2, 32), np.uint8)
+        t[0, 0] = 0xFF  # 8 bits from q
+        t[1, 0] = 0xFF
+        t[1, 1] = 0x01  # 9 bits from q
+        dist = hamming.hamming_matrix(jnp.asarray(q), jnp.asarray(t))
+        gate = jnp.ones((1, 2), bool)
+        m = matching.best_matches(dist, gate, max_dist=50, nn_ratio=0.7)
+        assert int(m.count) == 0
+        m2 = matching.best_matches(dist, gate, max_dist=50)
+        assert int(m2.count) == 1
+
+    def test_rotation_consistency(self):
+        rng = np.random.default_rng(5)
+        n = 100
+        t = rand_desc(rng, n)
+        dist = hamming.hamming_matrix(jnp.asarray(t), jnp.asarray(t))
+        gate = jnp.ones((n, n), bool)
+        m = matching.best_matches(dist, gate, max_dist=50)
+        # 90 matches rotated consistently by 10 deg, 10 outliers scattered
+        ang_q = np.zeros(n, np.float32)
+        ang_t = np.full(n, 10.0, np.float32)
+        ang_t[:10] = rng.uniform(90, 270, 10)
+        m2 = matching.rotation_consistency(
+            jnp.asarray(ang_q), jnp.asarray(ang_t), m
+        )
+        ok = np.asarray(m2.ok)
+        assert ok[10:].all()
+        assert not ok[:10].any()
+
+    def test_dedupe(self):
+        # two queries matched to the same target: better one wins
+        idx = jnp.asarray([5, 5, 7], jnp.int32)
+        dist = jnp.asarray([10, 4, 3], jnp.int32)
+        ok = jnp.asarray([True, True, True])
+        m = matching.MatchResult(idx, dist, ok)
+        m2 = matching.dedupe_targets(m, 10)
+        ok2 = np.asarray(m2.ok)
+        assert list(ok2) == [False, True, True]
