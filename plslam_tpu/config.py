@@ -52,7 +52,9 @@ class LineConfig:
     angle_th_deg: float = 15.0      # mfAngleTh
     length_ratio_th: float = 0.45   # length similarity gate
     overlap_th: float = 0.5         # axis-projection overlap gate
-    desc_dist_th: float = 45.0      # LBD hamming gate
+    desc_dist_th: float = 60.0      # LBD hamming gate (reference uses 45 for
+                                    # OpenCV-LBD bits; our band-pair
+                                    # binarization runs slightly hotter)
     reproj_err_th: float = 45.0     # endpoint reprojection gate (px)
     relax_offsets: tuple = (10.0, -0.1, -0.1, 5.0, 10.0)  # retry relaxation
     low_match_ratio: float = 0.2    # retry trigger: matches/NL < 0.2

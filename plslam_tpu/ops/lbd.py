@@ -1,0 +1,135 @@
+"""Line Band Descriptor (LBD) — batched, binary.
+
+TPU-native equivalent of the OpenCV ``BinaryDescriptor::compute`` (LBD,
+Zhang & Koch 2013) the reference calls in ``LineExtractor::ExtractLineSegment``
+(/root/reference/src/LineExtractor.cpp:21,56). For each segment, gradients
+are sampled on a line-aligned band grid (9 bands x 7 rows x S columns),
+accumulated into per-band mean/std statistics of the four half-wave
+gradient projections (the classic LBD 72-dim float descriptor), then
+binarized with a fixed pseudo-random comparison pattern into 256 bits so the
+same MXU Hamming machinery as ORB points applies.
+
+The binarization pattern differs from OpenCV's (which is unavailable for
+cross-validation — no line_descriptor contrib here), but it is deterministic
+and consistent across frames, which is all matching requires; invariance
+properties are covered by tests (shift/rotation/brightness).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LineConfig
+from . import image
+
+_S = 24  # samples along the line
+
+def _band_pairs(nb: int = 9) -> np.ndarray:
+    """Ordered band pairs (i < j), local comparisons first — the bits compare
+    the SAME feature dimension across two bands (OpenCV LBD binarization
+    style), which is far more stable than cross-dimension comparisons."""
+    pairs = [(i, j) for i in range(nb) for j in range(i + 1, nb)]
+    pairs.sort(key=lambda p: (p[1] - p[0], p[0]))
+    return np.array(pairs, np.int32)  # (36, 2)
+
+
+_BPAIRS = _band_pairs()
+
+
+def _bilinear(imgmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    h, w = imgmap.shape
+    x = jnp.clip(x, 0.0, w - 1.001)
+    y = jnp.clip(y, 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = imgmap[y0, x0]
+    v01 = imgmap[y0, x0 + 1]
+    v10 = imgmap[y0 + 1, x0]
+    v11 = imgmap[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def lbd_descriptors(
+    gx: jax.Array,
+    gy: jax.Array,
+    endpoints: jax.Array,  # (NL, 2, 2)
+    valid: jax.Array,      # (NL,)
+    cfg: LineConfig,
+) -> jax.Array:
+    """Binary LBD descriptors (NL, 32) uint8 from precomputed gradients."""
+    nb, bw = cfg.lbd_n_bands, cfg.lbd_band_width
+    rows = nb * bw  # perpendicular extent
+
+    s = endpoints[:, 0]  # (NL, 2)
+    e = endpoints[:, 1]
+    d = e - s
+    length = jnp.sqrt(jnp.sum(d**2, -1, keepdims=True)) + 1e-6
+    d = d / length                      # unit along-line dir (NL, 2)
+    n = jnp.stack([-d[:, 1], d[:, 0]], -1)  # unit normal
+
+    ts = (jnp.arange(_S) + 0.5) / _S    # (S,)
+    offs = jnp.arange(rows) - (rows - 1) / 2.0  # (rows,)
+
+    # sample positions: (NL, S, rows, 2)
+    base = s[:, None, :] + ts[None, :, None] * (e - s)[:, None, :]
+    pos = base[:, :, None, :] + offs[None, None, :, None] * n[:, None, None, :]
+    x = pos[..., 0]
+    y = pos[..., 1]
+    sg_x = _bilinear(gx, x, y)  # (NL, S, rows)
+    sg_y = _bilinear(gy, x, y)
+    g_par = sg_x * d[:, None, None, 0] + sg_y * d[:, None, None, 1]
+    g_perp = sg_x * n[:, None, None, 0] + sg_y * n[:, None, None, 1]
+
+    # global Gaussian row weighting (LBD paper f_g)
+    sigma_g = 0.5 * (rows - 1)
+    wg = jnp.exp(-(offs**2) / (2 * sigma_g**2))  # (rows,)
+
+    # half-wave rectified projections, band-accumulated over rows
+    feats = jnp.stack(
+        [
+            jnp.maximum(g_perp, 0.0),
+            jnp.maximum(-g_perp, 0.0),
+            jnp.maximum(g_par, 0.0),
+            jnp.maximum(-g_par, 0.0),
+        ],
+        axis=-1,
+    )  # (NL, S, rows, 4)
+    feats = feats * wg[None, None, :, None]
+    nl = endpoints.shape[0]
+    band = feats.reshape(nl, _S, nb, bw, 4).sum(axis=3)  # (NL, S, nb, 4)
+
+    mean = band.mean(axis=1)                       # (NL, nb, 4)
+    std = band.std(axis=1)                         # (NL, nb, 4)
+    # normalize mean-part and std-part separately (LBD paper)
+    mean = mean / (jnp.linalg.norm(mean.reshape(nl, -1), axis=1)[:, None, None] + 1e-6)
+    std = std / (jnp.linalg.norm(std.reshape(nl, -1), axis=1)[:, None, None] + 1e-6)
+    desc_bd = jnp.concatenate([mean, std], axis=-1)  # (NL, nb, 8)
+
+    # 36 band pairs x 8 dims = 288 candidate bits; keep the 256 most local
+    pa = jnp.asarray(_BPAIRS[:, 0])
+    pb = jnp.asarray(_BPAIRS[:, 1])
+    cmp = (desc_bd[:, pa, :] > desc_bd[:, pb, :]).astype(jnp.uint8)  # (NL,36,8)
+    bits = cmp.reshape(nl, -1)[:, :256]  # (NL, 256)
+    weights = (1 << jnp.arange(8, dtype=jnp.uint32)).astype(jnp.uint8)
+    desc = jnp.sum(
+        bits.reshape(nl, 32, 8) * weights[None, None, :], axis=-1, dtype=jnp.uint8
+    )
+    return jnp.where(valid[:, None], desc, 0)
+
+
+def extract_lbd(img: jax.Array, endpoints, valid, cfg: LineConfig):
+    """Convenience: gradients + descriptors from a grayscale image."""
+    gx, gy = image.sobel_gradients(image.gaussian_blur(img.astype(jnp.float32), 5, 1.0))
+    return lbd_descriptors(gx, gy, endpoints, valid, cfg)

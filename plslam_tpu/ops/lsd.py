@@ -1,0 +1,307 @@
+"""Line-segment detection as a fully vectorized array program.
+
+TPU-native replacement for the OpenCV ``LSDDetector::detect`` call wrapped by
+the reference's ``LineExtractor`` (/root/reference/src/LineExtractor.cpp:
+18-35). Classic LSD region-growing is inherently sequential; this re-design
+keeps its signal model (pixels support a line when their gradient is strong
+and perpendicular to it) but finds segments with dense parallel primitives:
+
+ 1. Sobel gradients; keep the top-P strongest pixels (sparse working set).
+ 2. Quantize line orientation (mod pi) into B bins with +/- tolerance.
+ 3. Per-bin Hough-like histogram over the perpendicular offset rho;
+    1D NMS + top-K peaks -> (theta, rho) candidates.
+ 4. Per candidate: support pixels within a rho corridor; occupancy along the
+    line direction; the longest gap-tolerant run (via a cummax scan — no
+    sequential loop) gives the segment extent.
+ 5. Weighted PCA of the run's support pixels refines angle/offset to
+    sub-pixel; endpoints = extreme projections of supports onto the fit.
+ 6. Candidate NMS (same orientation + offset + overlapping extent), then
+    keep the longest ``keep_top`` segments — matching the reference's
+    response = length / max(W, H) ranking (LineExtractor.cpp:23-35).
+
+Everything is fixed-shape; the whole detector jits into one XLA program.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LineConfig
+from . import image
+
+
+class LineFeatures(NamedTuple):
+    """Padded per-frame line arrays (pixel coordinates)."""
+
+    endpoints: jax.Array  # (NL, 2, 2) [start(x,y), end(x,y)]
+    angle: jax.Array      # (NL,) radians in (-pi, pi], gradient-oriented
+    length: jax.Array     # (NL,)
+    response: jax.Array   # (NL,) length / max(W, H)
+    coeff: jax.Array      # (NL, 3) normalized homogeneous 2D line
+    valid: jax.Array      # (NL,) bool
+
+
+# static working-set sizes
+_P = 16384         # sparse strong-gradient pixel budget
+_K_PER_BIN = 16    # rho peaks kept per orientation bin
+_T_BINS = 192      # occupancy bins along the line direction
+_T_RES = 4.0       # px per occupancy bin
+
+
+def _longest_run(occ: jax.Array, max_gap_bins: int) -> tuple[jax.Array, jax.Array]:
+    """Longest gap-tolerant run per row of a (C, T) occupancy matrix.
+
+    A run may bridge gaps of up to ``max_gap_bins`` empty bins. Returns
+    (start_bin, end_bin) inclusive, argmax by run length.
+    """
+    C, T = occ.shape
+    # close small gaps: dilate then erode along t (binary closing)
+    if max_gap_bins > 0:
+        w = 2 * max_gap_bins + 1
+        dil = jax.lax.reduce_window(
+            occ.astype(jnp.float32), 0.0, jax.lax.max, (1, w), (1, 1), "SAME"
+        )
+        closed = -jax.lax.reduce_window(
+            -dil, -1.0, jax.lax.max, (1, w), (1, 1), "SAME"
+        )
+        occ_c = closed > 0.5
+    else:
+        occ_c = occ
+    idx = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
+    # last empty bin at or before t  (prefix max of idx over empty bins)
+    last_zero = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(occ_c, jnp.int32(-1), idx), axis=1
+    )
+    run_len = jnp.where(occ_c, idx - last_zero, 0)
+    end = jnp.argmax(run_len, axis=1).astype(jnp.int32)
+    length = jnp.max(run_len, axis=1)
+    start = end - length + 1
+    return start, end
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "hw"))
+def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFeatures:
+    h, w = hw
+    img = img.astype(jnp.float32)
+    gx, gy = image.sobel_gradients(image.gaussian_blur(img, 5, 1.0))
+    mag = jnp.sqrt(gx * gx + gy * gy)
+
+    # Structure-tensor coherence: line/edge pixels have anisotropic local
+    # gradients (coherence ~1) while texture/noise is isotropic (~0). This
+    # stands in for LSD's implicit region-coherence and keeps the sparse
+    # pixel budget for actual edges.
+    jxx = image.gaussian_blur(gx * gx, 5, 2.0)
+    jxy = image.gaussian_blur(gx * gy, 5, 2.0)
+    jyy = image.gaussian_blur(gy * gy, 5, 2.0)
+    coherence = jnp.sqrt((jxx - jyy) ** 2 + 4.0 * jxy * jxy) / (jxx + jyy + 1e-6)
+
+    # kill borders
+    ys2 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs2 = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (ys2 >= 2) & (ys2 < h - 2) & (xs2 >= 2) & (xs2 < w - 2)
+    gate = inside & (mag > cfg.grad_threshold) & (coherence > 0.6)
+    mag = jnp.where(gate, mag * coherence, 0.0)
+
+    # ---- 1. sparse top-P working set -------------------------------------
+    flat_mag, flat_idx = jax.lax.top_k(mag.reshape(-1), _P)
+    py = (flat_idx // w).astype(jnp.float32)
+    px = (flat_idx % w).astype(jnp.float32)
+    pgx = gx.reshape(-1)[flat_idx]
+    pgy = gy.reshape(-1)[flat_idx]
+    pw = flat_mag
+    p_ok = flat_mag > 0.0
+    # line direction = gradient rotated 90deg; fold to [0, pi)
+    theta_p = jnp.arctan2(pgy, pgx) + jnp.pi / 2
+    theta_p = jnp.mod(theta_p, jnp.pi)  # (P,)
+
+    # center coordinates so rho spans ~[-diag/2, diag/2]
+    cx0, cy0 = (w - 1) / 2.0, (h - 1) / 2.0
+    qx, qy = px - cx0, py - cy0
+
+    B = cfg.n_orientation_bins
+    NR = int(2 * np.ceil(np.hypot(h, w) / 2 / cfg.rho_bin_px)) + 2
+    thetas = jnp.arange(B) * (jnp.pi / B)  # (B,)
+    tol = jnp.pi / B  # +/- one bin width of angular tolerance
+
+    # angular membership (B, P): distance on the mod-pi circle
+    dth = jnp.abs(theta_p[None, :] - thetas[:, None])
+    dth = jnp.minimum(dth, jnp.pi - dth)
+    inbin = (dth < tol) & p_ok[None, :]
+
+    # rho per (B, P): projection on each bin's normal
+    nx = -jnp.sin(thetas)[:, None]
+    ny = jnp.cos(thetas)[:, None]
+    rho = qx[None, :] * nx + qy[None, :] * ny  # (B, P)
+    rho_idx = jnp.clip(
+        (rho / cfg.rho_bin_px + NR / 2).astype(jnp.int32), 0, NR - 1
+    )
+
+    # ---- 2. Hough histogram + peaks --------------------------------------
+    flat_bins = (
+        jax.lax.broadcasted_iota(jnp.int32, (B, _P), 0) * NR + rho_idx
+    ).reshape(-1)
+    hist = jnp.zeros((B * NR,), jnp.float32).at[flat_bins].add(
+        jnp.where(inbin, pw[None, :], 0.0).reshape(-1)
+    ).reshape(B, NR)
+    # smooth +/-1 bin, then NMS over a 5-bin window
+    kernel = jnp.asarray([0.25, 0.5, 0.25])
+    hist_s = (
+        hist * 0.5
+        + 0.25 * jnp.roll(hist, 1, axis=1)
+        + 0.25 * jnp.roll(hist, -1, axis=1)
+    )
+    local_max = jax.lax.reduce_window(
+        hist_s, -jnp.inf, jax.lax.max, (1, 5), (1, 1), "SAME"
+    )
+    peaks = jnp.where(hist_s >= local_max, hist_s, 0.0)
+    peak_val, peak_rho_idx = jax.lax.top_k(peaks, _K_PER_BIN)  # (B, K)
+
+    C = B * _K_PER_BIN
+    cand_theta = jnp.repeat(thetas, _K_PER_BIN)  # (C,)
+    cand_rho = (peak_rho_idx.reshape(-1).astype(jnp.float32) - NR / 2) * cfg.rho_bin_px
+    cand_ok = peak_val.reshape(-1) > (cfg.min_length_px * cfg.grad_threshold * 0.5)
+    cand_bin = jnp.repeat(jnp.arange(B), _K_PER_BIN)
+
+    # ---- 3+4. support -> gap-tolerant run -> PCA fit, iterated ------------
+    # Round 0 gathers support in the Hough (theta, rho) corridor; later
+    # rounds re-gather against the refined infinite line, which re-unites
+    # fragments that coarse angular bins split across rho corridors.
+    gap_bins = max(int(cfg.gap_tolerance_px / _T_RES), 1)
+    corridor = 1.5 * cfg.rho_bin_px
+
+    def gather_fit(mx, my, dx_f, dy_f, first, mx0=None):
+        """Support pixels near the line through (mx,my) dir (dx_f,dy_f),
+        longest run along it, weighted PCA fit. Returns fit + extent."""
+        # angular gate: pixel's own orientation close to the line's (mod pi)
+        ang_line = jnp.mod(jnp.arctan2(dy_f, dx_f), jnp.pi)
+        dthc = jnp.abs(theta_p[None, :] - ang_line[:, None])
+        dthc = jnp.minimum(dthc, jnp.pi - dthc)
+        ang_gate = (dthc < tol) & p_ok[None, :]
+        # perpendicular distance to the line
+        nxf, nyf = -dy_f, dx_f
+        dperp = jnp.abs(
+            (qx[None, :] - mx[:, None]) * nxf[:, None]
+            + (qy[None, :] - my[:, None]) * nyf[:, None]
+        )
+        sup = ang_gate & (dperp < corridor)
+        t = (qx[None, :] - mx[:, None]) * dx_f[:, None] + (
+            qy[None, :] - my[:, None]
+        ) * dy_f[:, None]
+        t_idx = jnp.clip((t / _T_RES + _T_BINS / 2).astype(jnp.int32), 0, _T_BINS - 1)
+        occ_flat = jnp.zeros((C * _T_BINS,), jnp.int32).at[
+            (jax.lax.broadcasted_iota(jnp.int32, (C, _P), 0) * _T_BINS + t_idx
+             ).reshape(-1)
+        ].add(sup.astype(jnp.int32).reshape(-1))
+        occ = occ_flat.reshape(C, _T_BINS) > 0
+        # the run must contain the candidate's anchor t=0 bin neighborhood?
+        run_s, run_e = _longest_run(occ, gap_bins)
+        t_lo = (run_s.astype(jnp.float32) - _T_BINS / 2 - 0.5) * _T_RES
+        t_hi = (run_e.astype(jnp.float32) - _T_BINS / 2 + 0.5) * _T_RES
+        in_run = sup & (t >= t_lo[:, None]) & (t <= t_hi[:, None])
+        wgt = jnp.where(in_run, pw[None, :], 0.0)  # (C, P)
+        sw = jnp.sum(wgt, axis=1) + 1e-6
+        mx2 = jnp.sum(wgt * qx[None, :], axis=1) / sw
+        my2 = jnp.sum(wgt * qy[None, :], axis=1) / sw
+        dxq = qx[None, :] - mx2[:, None]
+        dyq = qy[None, :] - my2[:, None]
+        sxx = jnp.sum(wgt * dxq * dxq, axis=1) / sw
+        sxy = jnp.sum(wgt * dxq * dyq, axis=1) / sw
+        syy = jnp.sum(wgt * dyq * dyq, axis=1) / sw
+        ang2 = 0.5 * jnp.arctan2(2 * sxy, sxx - syy)
+        dx2 = jnp.cos(ang2)
+        dy2 = jnp.sin(ang2)
+        flip = dx2 * dx_f + dy2 * dy_f < 0
+        dx2 = jnp.where(flip, -dx2, dx2)
+        dy2 = jnp.where(flip, -dy2, dy2)
+        t_f = dxq * dx2[:, None] + dyq * dy2[:, None]
+        t_min = jnp.min(jnp.where(in_run, t_f, jnp.inf), axis=1)
+        t_max = jnp.max(jnp.where(in_run, t_f, -jnp.inf), axis=1)
+        n_sup = jnp.sum(in_run, axis=1)
+        return mx2, my2, dx2, dy2, t_min, t_max, n_sup, in_run
+
+    # initial line params from the Hough candidate: anchor = rho * normal
+    mx = cand_rho * -jnp.sin(cand_theta)
+    my = cand_rho * jnp.cos(cand_theta)
+    dx_f = jnp.cos(cand_theta)
+    dy_f = jnp.sin(cand_theta)
+    for _ in range(3):
+        mx, my, dx_f, dy_f, t_min, t_max, n_sup, in_run = gather_fit(
+            mx, my, dx_f, dy_f, first=False
+        )
+
+    seg_ok = cand_ok & (n_sup >= 8) & jnp.isfinite(t_min) & jnp.isfinite(t_max)
+    t_min = jnp.where(seg_ok, t_min, 0.0)
+    t_max = jnp.where(seg_ok, t_max, 0.0)
+    length = t_max - t_min
+    # density gate: supports per pixel of length
+    density = n_sup.astype(jnp.float32) / jnp.maximum(length, 1.0)
+    seg_ok = seg_ok & (length >= cfg.min_length_px) & (density > 0.35)
+
+    sx = mx + t_min * dx_f + cx0
+    sy = my + t_min * dy_f + cy0
+    ex = mx + t_max * dx_f + cx0
+    ey = my + t_max * dy_f + cy0
+
+    # ---- 5. candidate NMS -------------------------------------------------
+    ang_c = jnp.mod(jnp.arctan2(dy_f, dx_f), jnp.pi)
+    d_ang = jnp.abs(ang_c[:, None] - ang_c[None, :])
+    d_ang = jnp.minimum(d_ang, jnp.pi - d_ang)
+    # perpendicular offset of centroid j to line i
+    nxf, nyf = -dy_f, dx_f
+    off = jnp.abs(
+        (mx[None, :] - mx[:, None]) * nxf[:, None]
+        + (my[None, :] - my[:, None]) * nyf[:, None]
+    )
+    # extent overlap along i's direction
+    tj_lo = (mx[None, :] + 0 - mx[:, None]) * dx_f[:, None] + (
+        my[None, :] - my[:, None]
+    ) * dy_f[:, None] + t_min[None, :]
+    tj_hi = tj_lo + length[None, :]
+    ov_lo = jnp.maximum(t_min[:, None], tj_lo)
+    ov_hi = jnp.minimum(t_max[:, None], tj_hi)
+    overlap = (ov_hi - ov_lo) > -cfg.gap_tolerance_px
+    similar = (d_ang < jnp.pi / B) & (off < 3.0 * cfg.rho_bin_px) & overlap
+    score = jnp.where(seg_ok, length, -1.0)
+    # suppressed if a similar segment has a strictly better (score, idx) key
+    key = score * C - jnp.arange(C)
+    better = similar & (key[None, :] > key[:, None]) & seg_ok[None, :]
+    keep = seg_ok & ~jnp.any(better, axis=1)
+
+    # ---- 6. final top-N by length ----------------------------------------
+    final_score = jnp.where(keep, length, 0.0)
+    top_val, top_idx = jax.lax.top_k(final_score, cfg.max_lines)
+    # reference keeps the best `keep_top` by response (LineExtractor.cpp:23-35)
+    rank = jnp.arange(cfg.max_lines)
+    valid = (top_val >= cfg.min_length_px) & (rank < cfg.keep_top)
+
+    s_sel = jnp.stack([sx[top_idx], sy[top_idx]], -1)
+    e_sel = jnp.stack([ex[top_idx], ey[top_idx]], -1)
+    # orient by mean gradient normal (stable endpoint order across frames)
+    gn = jnp.sum(jnp.where(in_run, pgx[None, :], 0.0), axis=1)[top_idx] * (
+        -jnp.sin(ang_c[top_idx])
+    ) + jnp.sum(jnp.where(in_run, pgy[None, :], 0.0), axis=1)[top_idx] * jnp.cos(
+        ang_c[top_idx]
+    )
+    swap = gn < 0
+    s_fin = jnp.where(swap[:, None], e_sel, s_sel)
+    e_fin = jnp.where(swap[:, None], s_sel, e_sel)
+
+    d_fin = e_fin - s_fin
+    ang_fin = jnp.arctan2(d_fin[:, 1], d_fin[:, 0])
+    len_fin = jnp.sqrt(jnp.sum(d_fin**2, -1))
+    from ..geometry.lines import line_equation_2d
+
+    coeff = line_equation_2d(s_fin, e_fin)
+    return LineFeatures(
+        endpoints=jnp.stack([s_fin, e_fin], 1),
+        angle=jnp.where(valid, ang_fin, 0.0),
+        length=jnp.where(valid, len_fin, 0.0),
+        response=jnp.where(valid, len_fin / max(h, w), 0.0),
+        coeff=jnp.where(valid[:, None], coeff, 0.0),
+        valid=valid,
+    )
