@@ -71,7 +71,9 @@ class MatcherConfig:
     histo_length: int = 30          # rotation-consistency histogram bins
     check_orientation: bool = True
     search_radius_motion: float = 15.0   # th in TrackWithMotionModel
-    search_radius_local: float = 5.0     # th in SearchLocalPoints
+    search_radius_local: float = 3.0     # th in SearchLocalPoints (RGB-D uses
+                                         # th=3, Tracking.cc:1756-1762; tighter
+                                         # values cause confirmation-bias drift)
 
 
 @dataclass(frozen=True)

@@ -132,6 +132,16 @@ def left_update(xi, R, t):
     return compose(dR, dt, R, t)
 
 
+def orthonormalize(R: jax.Array) -> jax.Array:
+    """Project a near-rotation back onto SO(3) (two Newton steps of the
+    polar decomposition). Float32 chains of hundreds of rotation products
+    per frame otherwise contract det(R) exponentially — which silently
+    shrinks the whole geometry and diverges tracking."""
+    for _ in range(2):
+        R = 0.5 * (3.0 * R - R @ (R.T @ R))
+    return R
+
+
 # ---------------------------------------------------------------------------
 # Quaternions (x, y, z, w) — matching the TUM trajectory format ordering
 # used by the reference savers (/root/reference/src/System.cc:337-487).

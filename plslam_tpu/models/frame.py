@@ -1,0 +1,126 @@
+"""Per-frame perception: one jitted program from (gray, depth) to FrameData.
+
+TPU-native equivalent of the reference ``Frame`` RGB-D constructor
+(/root/reference/src/Frame.cc:97-205): where the reference spawns two
+pthreads for ORB and line extraction (:152-155), here both are subgraphs of
+one XLA program and the compiler overlaps them. Depth association follows
+``ComputeStereoFromRGBD`` (:1065-1117): virtual-right coordinate
+u_r = u - bf/d for keypoints, endpoint depths for keylines. Undistortion
+follows ``UndistortKeyPoints/KeyLines`` (:737-845).
+
+The 64x48 point grid (``AssignFeaturesToGrid``) is not reproduced: windowed
+searches use dense gate matrices (see ops.matching — cheaper on TPU than any
+bucketing). ``GetLinesInArea``'s brute force (:490-525) becomes the same
+dense pattern.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry import projection
+from ..ops import image, lbd, lsd, orb
+
+
+class FrameData(NamedTuple):
+    """All per-frame arrays (fixed capacity, mask-padded)."""
+
+    # points
+    kp_xy: jax.Array        # (N, 2) raw keypoint coords
+    kp_xy_un: jax.Array     # (N, 2) undistorted coords
+    kp_resp: jax.Array      # (N,)
+    kp_octave: jax.Array    # (N,) int32
+    kp_angle: jax.Array     # (N,) degrees
+    kp_desc: jax.Array      # (N, 32) uint8
+    kp_depth: jax.Array     # (N,) metres; <=0 when unknown
+    kp_ur: jax.Array        # (N,) virtual right u; -1 when no depth
+    kp_valid: jax.Array     # (N,) bool
+    # lines
+    ln_ep: jax.Array        # (NL, 2, 2) raw endpoints
+    ln_ep_un: jax.Array     # (NL, 2, 2) undistorted endpoints
+    ln_angle: jax.Array     # (NL,)
+    ln_length: jax.Array    # (NL,)
+    ln_coeff: jax.Array     # (NL, 3) from undistorted endpoints
+    ln_desc: jax.Array      # (NL, 32) uint8
+    ln_depth: jax.Array     # (NL, 2) endpoint depths; <=0 when unknown
+    ln_valid: jax.Array     # (NL,) bool
+
+
+def _sample_depth(depth: jax.Array, xy: jax.Array) -> jax.Array:
+    """Depth at rounded pixel coords (reference samples the raw map directly,
+    Frame.cc:1080)."""
+    h, w = depth.shape
+    x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    return depth[y, x]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig) -> FrameData:
+    cam = cfg.camera
+    hw = (cam.height, cam.width)
+    feats = orb.extract_orb(gray, cfg.orb, hw)
+    xy_un = projection.undistort_points(cam, feats.xy)
+    d = _sample_depth(depth, feats.xy)
+    has_d = (d > 0) & feats.valid
+    ur = jnp.where(has_d, xy_un[:, 0] - cam.bf / jnp.where(has_d, d, 1.0), -1.0)
+
+    if cfg.use_lines:
+        lf = lsd.detect_lines(gray, cfg.lines, hw)
+        gxy = image.sobel_gradients(image.gaussian_blur(gray.astype(jnp.float32), 5, 1.0))
+        ldesc = lbd.lbd_descriptors(gxy[0], gxy[1], lf.endpoints, lf.valid, cfg.lines)
+        ep_un = projection.undistort_points(cam, lf.endpoints)
+        ld = _sample_depth(depth, lf.endpoints) * lf.valid[:, None]
+        from ..geometry.lines import line_equation_2d
+
+        coeff = line_equation_2d(ep_un[:, 0], ep_un[:, 1])
+        ln = dict(
+            ln_ep=lf.endpoints, ln_ep_un=ep_un, ln_angle=lf.angle,
+            ln_length=lf.length, ln_coeff=coeff, ln_desc=ldesc,
+            ln_depth=ld, ln_valid=lf.valid,
+        )
+    else:
+        nl = cfg.lines.max_lines
+        z = jnp.zeros
+        ln = dict(
+            ln_ep=z((nl, 2, 2), jnp.float32), ln_ep_un=z((nl, 2, 2), jnp.float32),
+            ln_angle=z((nl,), jnp.float32), ln_length=z((nl,), jnp.float32),
+            ln_coeff=z((nl, 3), jnp.float32), ln_desc=z((nl, 32), jnp.uint8),
+            ln_depth=z((nl, 2), jnp.float32), ln_valid=z((nl,), bool),
+        )
+
+    return FrameData(
+        kp_xy=feats.xy,
+        kp_xy_un=xy_un,
+        kp_resp=feats.response,
+        kp_octave=feats.octave,
+        kp_angle=feats.angle,
+        kp_desc=feats.desc,
+        kp_depth=jnp.where(has_d, d, 0.0),
+        kp_ur=ur,
+        kp_valid=feats.valid,
+        **ln,
+    )
+
+
+def backproject_keypoints(cam, fd: FrameData) -> tuple[jax.Array, jax.Array]:
+    """Camera-frame 3D for keypoints with depth (UnprojectStereo semantics,
+    Frame.cc:1124-1140). Returns (p3d (N,3), ok (N,))."""
+    ok = fd.kp_valid & (fd.kp_depth > 0)
+    p = projection.backproject(cam, fd.kp_xy_un, fd.kp_depth)
+    return p, ok
+
+
+def backproject_lines(cam, fd: FrameData) -> tuple[jax.Array, jax.Array]:
+    """Camera-frame 3D endpoints for keylines with both depths
+    (UnprojectStereoLineStart/End — with the reference's read-wrong-array
+    bug at Frame.cc:1192 fixed). Returns (ep3d (NL,2,3), ok (NL,))."""
+    ok = fd.ln_valid & (fd.ln_depth[:, 0] > 0) & (fd.ln_depth[:, 1] > 0)
+    p0 = projection.backproject(cam, fd.ln_ep_un[:, 0], fd.ln_depth[:, 0])
+    p1 = projection.backproject(cam, fd.ln_ep_un[:, 1], fd.ln_depth[:, 1])
+    return jnp.stack([p0, p1], 1), ok

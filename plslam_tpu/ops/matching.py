@@ -113,11 +113,15 @@ def dedupe_targets(m: MatchResult, n_targets: int) -> MatchResult:
     replace-if-better rule of e.g. ORBmatcher.cc:1846-1862)."""
     nq = m.idx.shape[0]
     qid = jnp.arange(nq, dtype=jnp.int32)
-    # composite key makes the winner unique even on distance ties
-    key = m.dist * nq + qid
+    # composite key makes the winner unique even on distance ties; distances
+    # are Hamming (<=256), so clamp to 511 to keep key within int32 for any
+    # realistic query capacity (511 * nq + nq < 2^31 for nq up to ~2M)
+    d = jnp.minimum(jnp.where(m.ok, m.dist, 511), 511)
+    key = d * nq + qid
+    sentinel = 511 * nq + nq  # larger than any valid key
     tgt = jnp.clip(m.idx, 0, n_targets - 1)
-    best_key = jnp.full((n_targets,), BIG * nq, jnp.int32).at[tgt].min(
-        jnp.where(m.ok, key, BIG * nq)
+    best_key = jnp.full((n_targets,), sentinel, jnp.int32).at[tgt].min(
+        jnp.where(m.ok, key, sentinel)
     )
     ok = m.ok & (best_key[tgt] == key)
     return MatchResult(jnp.where(ok, m.idx, INVALID), jnp.where(ok, m.dist, BIG), ok)

@@ -212,8 +212,9 @@ def optimize_pose(
 
     in_pt = obs.valid
     in_ln = obs.line_valid
-    carry = (R0, t0, in_pt, in_ln)
+    carry = (se3.orthonormalize(R0), t0, in_pt, in_ln)
     for r in range(rounds):
-        carry = lm_round(carry, robust=(r < 2))
+        R, t, in_pt, in_ln = lm_round(carry, robust=(r < 2))
+        carry = (se3.orthonormalize(R), t, in_pt, in_ln)
     R, t, in_pt, in_ln = carry
     return PoseResult(R, t, in_pt, in_ln, jnp.sum(in_pt.astype(jnp.int32)))

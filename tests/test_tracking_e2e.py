@@ -1,0 +1,64 @@
+"""End-to-end RGB-D SLAM test on the synthetic room (the TUM stand-in).
+
+Tracks a rendered sequence with exact ground truth and checks ATE — the
+same protocol as the reference's golden-trajectory evaluation
+(/root/reference/results/CameraTrajectory.txt + TUM evaluate_ate), minus
+the dataset (not available in this environment).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.geometry.projection import Camera
+from plslam_tpu.models.local_mapping import LocalMapper
+from plslam_tpu.models.map import SlamMap
+from plslam_tpu.models.tracking import Tracker
+from plslam_tpu.utils.synthetic import RoomScene, smooth_trajectory
+
+CAM = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
+
+
+def run_sequence(cfg, n_frames=40, seed=0):
+    scene = RoomScene(seed)
+    poses = smooth_trajectory(n_frames * 2)[:n_frames]  # gentler motion
+    m = SlamMap(cfg)
+    lm = LocalMapper(cfg, m)
+    tr = Tracker(cfg, m, local_mapper=lm)
+    R0g, t0g = poses[0]
+    errs = []
+    for i, (R, t) in enumerate(poses):
+        g, d = scene.render(cfg.camera, R, t)
+        out = tr.process(g, d, i / 30.0)
+        assert out is not None, f"no pose at frame {i}"
+        Re, te = out
+        Rrel = R @ R0g.T
+        trel = t - Rrel @ t0g
+        errs.append(np.linalg.norm(-Re.T @ te - (-Rrel.T @ trel)))
+    return np.array(errs), m, tr
+
+
+class TestEndToEnd:
+    def test_points_only_ate(self):
+        cfg = SlamConfig(camera=CAM, use_lines=False)
+        errs, m, tr = run_sequence(cfg)
+        rmse = float(np.sqrt((errs**2).mean()))
+        assert tr.state == 1, "tracking lost"
+        assert rmse < 0.03, f"ATE RMSE {rmse*100:.2f}cm"
+        assert errs.max() < 0.06, f"worst {errs.max()*100:.2f}cm"
+        assert m.n_kf >= 2
+
+    def test_point_and_line_ate(self):
+        cfg = SlamConfig(camera=CAM, use_lines=True)
+        errs, m, tr = run_sequence(cfg)
+        rmse = float(np.sqrt((errs**2).mean()))
+        assert tr.state == 1
+        assert rmse < 0.03, f"ATE RMSE {rmse*100:.2f}cm"
+        assert m.n_lines() > 0, "no map lines created"
+
+    def test_map_stays_bounded(self):
+        cfg = SlamConfig(camera=CAM, use_lines=False)
+        _, m, _ = run_sequence(cfg, n_frames=30)
+        # fusion + culling must keep duplicates under control
+        assert m.n_points() < 3000, f"{m.n_points()} points (duplicate blowup)"
