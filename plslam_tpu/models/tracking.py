@@ -1,18 +1,22 @@
 """Frontend tracking: the per-frame state machine and its jitted steps.
 
 Re-design of the reference ``Tracking`` thread (/root/reference/src/
-Tracking.cc) as a host-side state machine around two fixed-shape device
-programs:
+Tracking.cc) as a host-side state machine around ONE fused device program
+per frame (``fused_track_step``), covering:
 
-- ``motion_track_step``: project the previous frame's 3D (map points +
-  temporal depth points, 3D lines) with the constant-velocity guess, match
-  in windows, joint point+line pose LM.  Covers TrackWithMotionModel
-  (:1212-1330) + UpdateLastFrame (:1044-1210) + the x2-radius retry
-  (:1255-1259), computed branchlessly.
-- ``local_map_track_step``: frustum-cull the local map, scale-predicted
-  window matching with ratio test, second pose LM.  Covers TrackLocalMap
-  (:1332-1420) + SearchLocalPoints/Lines (:1746-1865) + IsInFrustum
-  (Frame.cc:345-430).
+- Frame construction (Frame.cc RGB-D ctor — perception),
+- TrackWithMotionModel (:1212-1330) + UpdateLastFrame temporal landmarks
+  (:1044-1210, closest-100/45 caps) + the x2-radius retry (:1255-1259),
+- TrackLocalMap (:1332-1420) + SearchLocalPoints/Lines (:1746-1865) +
+  IsInFrustum (Frame.cc:345-430), with joint point+line pose LM after each.
+
+The reference crosses its data between pthreads through mutex-guarded
+objects; here the frame-to-frame state (previous FrameData, pose, velocity,
+landmark bindings) is DEVICE-RESIDENT and the host only downloads a small
+result bundle once per frame — under a networked TPU every synchronous
+round trip costs ~30 ms, so the design point is one dispatch + one fetch
+per frame. Local-map arrays are uploaded only when the keyframe set
+changes.
 
 Keyframe decision/creation follows NeedNewKeyFrame / CreateNewKeyFrame
 (:1423-1744, RGB-D branch): close-point bookkeeping, depth-sorted new
@@ -22,7 +26,7 @@ landmark creation, line creation from endpoint depths.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax
@@ -42,17 +46,6 @@ TH_HIGH = 100
 TH_LOW = 50
 
 
-class MotionStepOut(NamedTuple):
-    R: jax.Array
-    t: jax.Array
-    pt_idx: jax.Array       # (Q,) matched current-frame feature per query
-    pt_inlier: jax.Array    # (Q,) bool
-    ln_idx: jax.Array       # (L,)
-    ln_inlier: jax.Array    # (L,)
-    n_pt_matches: jax.Array
-    n_inliers: jax.Array
-
-
 def _inv_sigma2(octave, scale: float):
     return (1.0 / scale**2) ** octave.astype(jnp.float32)
 
@@ -70,7 +63,7 @@ def _project_points(cam, R, t, p3d):
 
 def _assemble_pose_obs(cfg, fd: FrameData, q_p3d, q_valid, pt_idx, pt_ok,
                        ln_ep3d, ln_valid, ln_idx, ln_ok):
-    """Gather matched observations into fixed-shape PoseObs (capacity = Q, L)."""
+    """Gather matched observations into fixed-shape PoseObs."""
     scale = cfg.orb.scale_factor
     idx = jnp.clip(pt_idx, 0, fd.kp_xy_un.shape[0] - 1)
     obs_uv = fd.kp_xy_un[idx]
@@ -90,21 +83,25 @@ def _assemble_pose_obs(cfg, fd: FrameData, q_p3d, q_valid, pt_idx, pt_ok,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def motion_track_step(
-    cfg: SlamConfig,
-    fd: FrameData,
-    q_p3d: jax.Array,     # (Q, 3) world 3D of last-frame features
-    q_desc: jax.Array,    # (Q, 32)
-    q_octave: jax.Array,  # (Q,)
-    q_angle: jax.Array,   # (Q,)
-    q_valid: jax.Array,   # (Q,)
-    ln_ep3d: jax.Array,   # (L, 2, 3) world 3D line endpoints of last frame
-    ln_desc: jax.Array,   # (L, 32)
-    ln_valid: jax.Array,  # (L,)
-    R_guess: jax.Array,
-    t_guess: jax.Array,
-) -> MotionStepOut:
+# ===========================================================================
+# Step cores (traceable functions, shared by the fused step and the
+# standalone jitted wrappers used in unit tests)
+# ===========================================================================
+
+
+class MotionStepOut(NamedTuple):
+    R: jax.Array
+    t: jax.Array
+    pt_idx: jax.Array
+    pt_inlier: jax.Array
+    ln_idx: jax.Array
+    ln_inlier: jax.Array
+    n_pt_matches: jax.Array
+    n_inliers: jax.Array
+
+
+def _motion_core(cfg, fd, q_p3d, q_desc, q_octave, q_angle, q_valid,
+                 ln_ep3d, ln_desc, ln_valid, R_guess, t_guess) -> MotionStepOut:
     cam = cfg.camera
     scale = cfg.orb.scale_factor
     uv_proj, _, in_img = _project_points(cam, R_guess, t_guess, q_p3d)
@@ -132,7 +129,6 @@ def motion_track_step(
     m = matching.MatchResult(pick(m1.idx, m2.idx), pick(m1.dist, m2.dist),
                              pick(m1.ok, m2.ok))
 
-    # lines: project last-frame 3D lines and run the gate cascade
     proj = line_matching.project_lines(cam, R_guess, t_guess, ln_ep3d, ln_valid)
     lm = line_matching.match_lines(
         proj, ln_desc, fd.ln_ep_un, fd.ln_angle, fd.ln_length,
@@ -159,24 +155,9 @@ class LocalStepOut(NamedTuple):
     n_inliers: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def local_map_track_step(
-    cfg: SlamConfig,
-    fd: FrameData,
-    lm_p3d: jax.Array,      # (LM, 3)
-    lm_desc: jax.Array,     # (LM, 32)
-    lm_normal: jax.Array,   # (LM, 3)
-    lm_mind: jax.Array,     # (LM,)
-    lm_maxd: jax.Array,     # (LM,)
-    lm_valid: jax.Array,    # (LM,)
-    lm_pre_feat: jax.Array, # (LM,) feature idx matched by motion step or -1
-    lml_ep3d: jax.Array,    # (LL, 2, 3)
-    lml_desc: jax.Array,
-    lml_valid: jax.Array,
-    lml_pre_feat: jax.Array,
-    R0: jax.Array,
-    t0: jax.Array,
-) -> LocalStepOut:
+def _local_core(cfg, fd, lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd,
+                lm_valid, lm_pre_feat, lml_ep3d, lml_desc, lml_valid,
+                lml_pre_feat, R0, t0) -> LocalStepOut:
     cam = cfg.camera
     scale = cfg.orb.scale_factor
     n_levels = cfg.orb.n_levels
@@ -194,17 +175,15 @@ def local_map_track_step(
     pre_matched = lm_pre_feat >= 0
     # NOTE: unlike the reference (which skips re-searching points already
     # bound by the motion step, an O(N) CPU saving), ALL visible points are
-    # re-matched here — motion-step bindings were selected at a possibly
-    # biased pose, and freezing them feeds that bias forward; re-matching is
-    # free on TPU and keeps the correction loop contractive.
+    # re-matched — motion-step bindings were selected at a possibly biased
+    # pose, and freezing them feeds that bias forward; re-matching is free
+    # on TPU and keeps the correction loop contractive.
     visible = lm_valid & in_img & dist_ok & view_ok
 
-    # PredictScale (MapPoint.cc): level from distance ratio
     ratio = jnp.log(jnp.maximum(lm_maxd, 1e-6) / jnp.maximum(dist, 1e-6))
     pred_level = jnp.clip(
         jnp.ceil(ratio / jnp.log(scale)).astype(jnp.int32), 0, n_levels - 1
     )
-    # RadiusByViewingCos x th x scaleFactor^level (ORBmatcher.cc:72-180)
     base_r = jnp.where(view_cos > 0.998, 2.5, 4.0)
     radius = cfg.matcher.search_radius_local * base_r * scale ** pred_level.astype(
         jnp.float32
@@ -220,11 +199,9 @@ def local_map_track_step(
         lm_desc, fd.kp_desc, gate, TH_HIGH,
         nn_ratio=cfg.matcher.nn_ratio_tracking, dedupe=True,
     )
-    # fresh matches win; motion-step bindings only fill gaps
     pt_idx = jnp.where(m.ok, m.idx, lm_pre_feat)
     pt_ok = m.ok | pre_matched
 
-    # lines (same re-match-everything policy as points)
     lproj = line_matching.project_lines(cam, R0, t0, lml_ep3d, lml_valid)
     ln_pre = lml_pre_feat >= 0
     lm_res = line_matching.match_lines(
@@ -244,6 +221,159 @@ def local_map_track_step(
     )
 
 
+# standalone jitted wrappers (unit tests / diagnostics)
+motion_track_step = functools.partial(jax.jit, static_argnames=("cfg",))(
+    lambda cfg, fd, *a: _motion_core(cfg, fd, *a)
+)
+local_map_track_step = functools.partial(jax.jit, static_argnames=("cfg",))(
+    lambda cfg, fd, *a: _local_core(cfg, fd, *a)
+)
+
+
+# ===========================================================================
+# Fused per-frame step
+# ===========================================================================
+
+
+class FusedOut(NamedTuple):
+    fd: FrameData            # stays on device as next frame's "prev"
+    R: jax.Array
+    t: jax.Array
+    R_vel: jax.Array
+    t_vel: jax.Array
+    feat_slot_pt: jax.Array  # (N,) local-map slot bound to each cur feature
+    feat_slot_ln: jax.Array  # (NL,)
+    lm_feat: jax.Array       # (LM,) matched cur feature per slot (-1)
+    lm_inlier: jax.Array     # (LM,)
+    lm_visible: jax.Array    # (LM,)
+    lml_feat: jax.Array      # (LL,)
+    lml_inlier: jax.Array
+    n_motion_matches: jax.Array
+    n_motion_inliers: jax.Array
+    n_local_inliers: jax.Array
+    tracked_close: jax.Array
+    creatable_close: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fused_track_step(
+    cfg: SlamConfig,
+    gray: jax.Array,
+    depth: jax.Array,
+    prev: FrameData,
+    prev_slot_pt: jax.Array,  # (N,) lm slot per prev feature or -1
+    prev_slot_ln: jax.Array,  # (NL,)
+    R_prev: jax.Array,
+    t_prev: jax.Array,
+    R_vel: jax.Array,
+    t_vel: jax.Array,
+    has_vel: jax.Array,       # () bool
+    lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd, lm_valid,
+    lml_ep3d, lml_desc, lml_valid,
+) -> FusedOut:
+    cam = cfg.camera
+    LM = lm_p3d.shape[0]
+    LL = lml_ep3d.shape[0]
+
+    fd = mframe.build_frame(gray, depth, cfg)
+
+    # velocity-model pose guess
+    Rv, tv = se3.compose(R_vel, t_vel, R_prev, t_prev)
+    Rg = jnp.where(has_vel, Rv, R_prev)
+    tg = jnp.where(has_vel, tv, t_prev)
+
+    # ---- queries from the previous frame -------------------------------
+    Rwc = R_prev.T
+    c_prev = -(Rwc @ t_prev)
+    slot = prev_slot_pt
+    bound = (slot >= 0) & lm_valid[jnp.clip(slot, 0, LM - 1)]
+    p_map = lm_p3d[jnp.clip(slot, 0, LM - 1)]
+    from ..geometry import projection as gproj
+
+    pc_prev = gproj.backproject(cam, prev.kp_xy_un, prev.kp_depth)
+    p_temp = pc_prev @ Rwc.T + c_prev
+    has_d = prev.kp_depth > 0
+    t_cand = prev.kp_valid & has_d & ~bound
+    cap = cfg.tracking.temporal_points_cap
+    dsel = jnp.where(t_cand, prev.kp_depth, jnp.inf)
+    kth = -jax.lax.top_k(-dsel, cap)[0][cap - 1]
+    t_sel = t_cand & (dsel <= kth)
+    q_p3d = jnp.where(bound[:, None], p_map, p_temp)
+    q_valid = bound | t_sel
+
+    lslot = prev_slot_ln
+    lbound = (lslot >= 0) & lml_valid[jnp.clip(lslot, 0, LL - 1)]
+    l_map = lml_ep3d[jnp.clip(lslot, 0, LL - 1)]
+    l_temp = jnp.stack(
+        [
+            gproj.backproject(cam, prev.ln_ep_un[:, k], prev.ln_depth[:, k])
+            @ Rwc.T + c_prev
+            for k in (0, 1)
+        ],
+        axis=1,
+    )
+    lt_cand = prev.ln_valid & (prev.ln_depth > 0).all(1) & ~lbound
+    lcap = cfg.tracking.temporal_lines_cap
+    ldsel = jnp.where(lt_cand, prev.ln_depth.max(1), jnp.inf)
+    lkth = -jax.lax.top_k(-ldsel, lcap)[0][lcap - 1]
+    lt_sel = lt_cand & (ldsel <= lkth)
+    l_ep3d = jnp.where(lbound[:, None, None], l_map, l_temp)
+    l_valid = lbound | lt_sel
+
+    # ---- motion step ----------------------------------------------------
+    mo = _motion_core(cfg, fd, q_p3d, prev.kp_desc, prev.kp_octave,
+                      prev.kp_angle, q_valid, l_ep3d, prev.ln_desc, l_valid,
+                      Rg, tg)
+
+    # pre-bindings for local step: slot -> matched cur feature
+    ok_pre = bound & mo.pt_inlier
+    pre_feat = jnp.full((LM,), -1, jnp.int32).at[
+        jnp.where(ok_pre, slot, LM)
+    ].set(mo.pt_idx, mode="drop")
+    lok_pre = lbound & mo.ln_inlier
+    lpre_feat = jnp.full((LL,), -1, jnp.int32).at[
+        jnp.where(lok_pre, lslot, LL)
+    ].set(mo.ln_idx, mode="drop")
+
+    # ---- local-map step -------------------------------------------------
+    lo = _local_core(cfg, fd, lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd,
+                     lm_valid, pre_feat, lml_ep3d, lml_desc, lml_valid,
+                     lpre_feat, mo.R, mo.t)
+
+    ok_slot = lo.pt_inlier & (lo.pt_idx >= 0)
+    n = fd.kp_valid.shape[0]
+    feat_slot_pt = jnp.full((n,), -1, jnp.int32).at[
+        jnp.where(ok_slot, lo.pt_idx, n)
+    ].set(jnp.arange(LM, dtype=jnp.int32), mode="drop")
+    nl = fd.ln_valid.shape[0]
+    lok_slot = lo.ln_inlier & (lo.ln_idx >= 0)
+    feat_slot_ln = jnp.full((nl,), -1, jnp.int32).at[
+        jnp.where(lok_slot, lo.ln_idx, nl)
+    ].set(jnp.arange(LL, dtype=jnp.int32), mode="drop")
+
+    # velocity for next frame: T_cur ∘ T_prev^-1
+    Rpi, tpi = se3.inverse(R_prev, t_prev)
+    Rvn, tvn = se3.compose(lo.R, lo.t, Rpi, tpi)
+
+    # close-point stats for the keyframe decision (NeedNewKeyFrame)
+    close = fd.kp_valid & (fd.kp_depth > 0) & (
+        fd.kp_depth < cfg.tracking.th_depth
+    )
+    tracked_close = jnp.sum((close & (feat_slot_pt >= 0)).astype(jnp.int32))
+    creatable_close = jnp.sum((close & (feat_slot_pt < 0)).astype(jnp.int32))
+
+    return FusedOut(
+        fd=fd, R=lo.R, t=lo.t, R_vel=Rvn, t_vel=tvn,
+        feat_slot_pt=feat_slot_pt, feat_slot_ln=feat_slot_ln,
+        lm_feat=jnp.where(ok_slot, lo.pt_idx, -1), lm_inlier=ok_slot,
+        lm_visible=lo.pt_visible,
+        lml_feat=jnp.where(lok_slot, lo.ln_idx, -1), lml_inlier=lok_slot,
+        n_motion_matches=mo.n_pt_matches, n_motion_inliers=mo.n_inliers,
+        n_local_inliers=lo.n_inliers,
+        tracked_close=tracked_close, creatable_close=creatable_close,
+    )
+
+
 # ===========================================================================
 # Host-side tracker
 # ===========================================================================
@@ -253,17 +383,11 @@ OK = 1
 LOST = 2
 
 
-@dataclass
-class LastFrame:
-    fd_host: HostFrame
-    R: np.ndarray
-    t: np.ndarray
-    pt_ids: np.ndarray      # (N,) map point id per feature or -1
-    ln_ids: np.ndarray      # (NL,) map line id per line or -1
-
-
 class Tracker:
-    """Host state machine driving the jitted steps and the map."""
+    """Host state machine driving the fused device step and the map."""
+
+    LM_CAP = 8192
+    LL_CAP = 512
 
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap,
                  local_mapper=None, loop_closer=None):
@@ -272,43 +396,56 @@ class Tracker:
         self.local_mapper = local_mapper
         self.loop_closer = loop_closer
         self.state = NOT_INITIALIZED
-        self.last: LastFrame | None = None
-        self.velocity: tuple[np.ndarray, np.ndarray] | None = None
         self.frame_id = -1
-        self.last_kf_id = -1          # frame id at last KF insertion
-        self.last_kf = -1             # keyframe index
+        self.last_kf_id = -1
+        self.last_kf = -1
         self.ref_kf = -1
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
-        self.relative_poses: list = []  # (ref_kf, T_cr) for final trajectory
         self.n_lost_frames = 0
-        # capacities for local-map device buffers
-        self._lm_cap = 8192
-        self._ll_cap = 512
+        self.debug: dict = {}
+        # device-resident state
+        self._prev_fd: FrameData | None = None
+        self._prev_slot_pt = None
+        self._prev_slot_ln = None
+        self._R = None
+        self._t = None
+        self._R_vel = jnp.eye(3, dtype=jnp.float32)
+        self._t_vel = jnp.zeros(3, jnp.float32)
+        self._has_vel = jnp.asarray(False)
+        # cached local map (device arrays + host id tables)
+        self._lm_args = None
+        self._lp_ids = np.zeros(0, np.int32)
+        self._ll_ids = np.zeros(0, np.int32)
+        # host mirrors for the current/last frame
+        self.last_pose: tuple[np.ndarray, np.ndarray] | None = None
+        self.last_pt_ids: np.ndarray | None = None
+        self.last_ln_ids: np.ndarray | None = None
 
     # ------------------------------------------------------------------ API
     def process(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
         """Track one RGB-D frame. Returns (R, t) world-to-camera or None."""
         self.frame_id += 1
-        fd = mframe.build_frame(jnp.asarray(gray), jnp.asarray(depth), self.cfg)
+        gray = jnp.asarray(gray)
+        depth = jnp.asarray(depth)
         if self.state == NOT_INITIALIZED:
-            ok = self._stereo_initialization(fd, timestamp)
-            if ok:
+            fd = mframe.build_frame(gray, depth, self.cfg)
+            if self._stereo_initialization(fd, timestamp):
                 self.state = OK
-            return (self.last.R, self.last.t) if ok else None
-        ok = self._track(fd, timestamp)
+                return self.last_pose
+            return None
+        ok = self._track(gray, depth, timestamp)
         if not ok:
             self.n_lost_frames += 1
-            if self.state == OK:
-                self.state = LOST
+            self.state = LOST
         else:
             self.state = OK
             self.n_lost_frames = 0
-        return (self.last.R, self.last.t) if self.last else None
+        return self.last_pose
 
     # ------------------------------------------------------ initialization
     def _stereo_initialization(self, fd: FrameData, timestamp: float) -> bool:
         """Tracking::StereoInitialization (Tracking.cc:608-727)."""
-        host = HostFrame(fd)
+        host = HostFrame(jax.device_get(fd))
         n_depth = int(((host.kp_depth > 0) & host.kp_valid).sum())
         if n_depth < 300:
             return False
@@ -322,165 +459,150 @@ class Tracker:
         ln_ids = self._create_lines_from_depth(
             kf, host, R, t, np.full(host.ln_valid.shape, -1, np.int32)
         )
-        self.last = LastFrame(host, R, t, pt_ids, ln_ids)
         self.last_kf_id = self.frame_id
         self.last_kf = kf
         self.ref_kf = kf
+        self.last_pose = (R, t)
+        self.last_pt_ids = pt_ids
+        self.last_ln_ids = ln_ids
         self.trajectory.append((timestamp, R.copy(), t.copy()))
         if self.local_mapper is not None:
+            self.local_mapper.on_new_landmarks(kf, pt_ids, ln_ids)
             self.local_mapper.process_keyframe(kf)
+        # device state
+        self._prev_fd = fd
+        self._R = jnp.asarray(R)
+        self._t = jnp.asarray(t)
+        self._has_vel = jnp.asarray(False)
+        self._refresh_local_map(pt_ids, ln_ids)
         return True
 
     # ------------------------------------------------------------- tracking
-    def _track(self, fd: FrameData, timestamp: float) -> bool:
+    def _track(self, gray, depth, timestamp: float) -> bool:
         cfg = self.cfg
-        cam = cfg.camera
-        last = self.last
-
-        # pose guess from constant velocity
-        if self.velocity is not None:
-            Rv, tv = self.velocity
-            Rg, tg = se3.compose(
-                jnp.asarray(Rv), jnp.asarray(tv),
-                jnp.asarray(last.R), jnp.asarray(last.t),
-            )
-        else:
-            Rg, tg = jnp.asarray(last.R), jnp.asarray(last.t)
-
-        # --- queries from the last frame: map points + temporal depth points
-        h = last.fd_host
-        n = h.kp_valid.shape[0]
-        q_p3d = np.zeros((n, 3), np.float32)
-        q_valid = np.zeros(n, bool)
-        has_map = last.pt_ids >= 0
-        valid_map = has_map & self.map.pt_valid[np.clip(last.pt_ids, 0, None)]
-        q_p3d[valid_map] = self.map.pt_pos[last.pt_ids[valid_map]]
-        q_valid |= valid_map
-        # temporal points: unmatched features with depth (UpdateLastFrame),
-        # capped at the closest `temporal_points_cap` so they can never
-        # outvote real map points in the pose optimization (Tracking.cc:1136;
-        # uncapped temporal points feed pose bias back and diverge tracking)
-        temporal = h.kp_valid & (h.kp_depth > 0) & ~valid_map
-        cap = cfg.tracking.temporal_points_cap
-        if temporal.sum() > cap:
-            idxs = np.nonzero(temporal)[0]
-            keep = idxs[np.argsort(h.kp_depth[idxs])[:cap]]
-            temporal = np.zeros_like(temporal)
-            temporal[keep] = True
-        if temporal.any():
-            pc = _backproject_np(cam, h.kp_xy_un[temporal], h.kp_depth[temporal])
-            Rwc = last.R.T
-            q_p3d[temporal] = pc @ Rwc.T + (-Rwc @ last.t)
-            q_valid |= temporal
-
-        # --- 3D lines of the last frame (map lines or endpoint depths)
-        nl = h.ln_valid.shape[0]
-        l_ep3d = np.zeros((nl, 2, 3), np.float32)
-        l_valid = np.zeros(nl, bool)
-        has_lmap = last.ln_ids >= 0
-        valid_lmap = has_lmap & self.map.ln_valid[np.clip(last.ln_ids, 0, None)]
-        l_ep3d[valid_lmap] = self.map.ln_ep[last.ln_ids[valid_lmap]]
-        l_valid |= valid_lmap
-        tline = h.ln_valid & (h.ln_depth > 0).all(1) & ~valid_lmap
-        lcap = cfg.tracking.temporal_lines_cap
-        if tline.sum() > lcap:
-            idxs = np.nonzero(tline)[0]
-            keep = idxs[np.argsort(h.ln_depth[idxs].max(1))[:lcap]]
-            tline = np.zeros_like(tline)
-            tline[keep] = True
-        if tline.any():
-            Rwc = last.R.T
-            c = -Rwc @ last.t
-            for k in (0, 1):
-                pc = _backproject_np(cam, h.ln_ep_un[tline, k], h.ln_depth[tline, k])
-                l_ep3d[tline, k] = pc @ Rwc.T + c
-            l_valid |= tline
-
-        out = motion_track_step(
-            cfg, fd,
-            jnp.asarray(q_p3d), jnp.asarray(h.kp_desc),
-            jnp.asarray(h.kp_octave), jnp.asarray(h.kp_angle),
-            jnp.asarray(q_valid),
-            jnp.asarray(l_ep3d), jnp.asarray(h.ln_desc), jnp.asarray(l_valid),
-            Rg, tg,
+        out = fused_track_step(
+            cfg, gray, depth, self._prev_fd,
+            self._prev_slot_pt, self._prev_slot_ln,
+            self._R, self._t, self._R_vel, self._t_vel, self._has_vel,
+            *self._lm_args,
         )
-        n_in = int(out.n_inliers)
+        # ONE bundled download per frame
+        (R, t, lm_feat, lm_inlier, lm_vis, lml_feat, lml_inlier,
+         n_mm, n_mi, n_li, tc, cc) = jax.device_get(
+            (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
+             out.lml_feat, out.lml_inlier, out.n_motion_matches,
+             out.n_motion_inliers, out.n_local_inliers,
+             out.tracked_close, out.creatable_close)
+        )
         self.debug = {
-            "queries": int(q_valid.sum()), "motion_matches": int(out.n_pt_matches),
-            "motion_inliers": n_in,
+            "motion_matches": int(n_mm), "motion_inliers": int(n_mi),
+            "local_inliers": int(n_li), "local_points": len(self._lp_ids),
         }
-        if n_in < 10:
+        n_in = int(n_li)
+        if int(n_mi) < 10 or n_in < cfg.tracking.min_inliers_local_map:
+            # keep device frame state for a retry, but do not advance pose;
+            # bindings referred to the old frame -> clear them
+            self._prev_fd = out.fd
+            self._prev_slot_pt = jnp.full_like(self._prev_slot_pt, -1)
+            self._prev_slot_ln = jnp.full_like(self._prev_slot_ln, -1)
+            self._has_vel = jnp.asarray(False)
             return False
 
-        # map-point bindings for the current frame from the motion step
+        # advance device state
+        self._prev_fd = out.fd
+        self._prev_slot_pt = out.feat_slot_pt
+        self._prev_slot_ln = out.feat_slot_ln
+        self._R = out.R
+        self._t = out.t
+        self._R_vel = out.R_vel
+        self._t_vel = out.t_vel
+        self._has_vel = jnp.asarray(True)
+
+        # host bookkeeping
+        k = len(self._lp_ids)
+        lm_inlier = lm_inlier.copy()
+        lm_inlier[k:] = False
+        vis = lm_vis.copy()
+        vis[k:] = False
+        self.map.pt_visible[self._lp_ids[vis[:k]]] += 1
+        self.map.pt_found[self._lp_ids[lm_inlier[:k]]] += 1
+        n = self.cfg.orb.max_keypoints
         cur_pt_ids = np.full(n, -1, np.int32)
-        pt_idx = np.asarray(out.pt_idx)
-        pt_in = np.asarray(out.pt_inlier)
-        src = valid_map & pt_in
-        cur_pt_ids[pt_idx[src]] = last.pt_ids[src]
+        sel = np.nonzero(lm_inlier[:k])[0]
+        cur_pt_ids[lm_feat[sel]] = self._lp_ids[sel]
+        kl = len(self._ll_ids)
+        lml_inlier = lml_inlier.copy()
+        lml_inlier[kl:] = False
+        nl = self.cfg.lines.max_lines
         cur_ln_ids = np.full(nl, -1, np.int32)
-        ln_idx = np.asarray(out.ln_idx)
-        ln_in = np.asarray(out.ln_inlier)
-        lsrc = valid_lmap & ln_in
-        cur_ln_ids[ln_idx[lsrc]] = last.ln_ids[lsrc]
+        lsel = np.nonzero(lml_inlier[:kl])[0]
+        cur_ln_ids[lml_feat[lsel]] = self._ll_ids[lsel]
+        self.map.ln_visible[self._ll_ids[lsel]] += 1
+        self.map.ln_found[self._ll_ids[lsel]] += 1
 
-        # ------------------------------------------------- track local map
-        R1, t1 = out.R, out.t
-        lkfs = self._local_keyframes(cur_pt_ids)
-        lp_ids, ll_ids = self._local_landmarks(lkfs)
-        host_cur = None
-        if len(lp_ids) > 0:
-            (lm_arrays, lml_arrays) = self._gather_local_arrays(
-                lp_ids, ll_ids, cur_pt_ids, cur_ln_ids, pt_idx, ln_idx)
-            lout = local_map_track_step(cfg, fd, *lm_arrays, *lml_arrays, R1, t1)
-            n_in = int(lout.n_inliers)
-            self.debug.update(
-                local_kfs=len(lkfs), local_points=len(lp_ids),
-                local_inliers=n_in,
-            )
-            threshold = cfg.tracking.min_inliers_local_map
-            if n_in < threshold:
-                return False
-            R1, t1 = lout.R, lout.t
-            # final bindings: local map matches
-            lpt_idx = np.array(lout.pt_idx)
-            lpt_in = np.array(lout.pt_inlier)
-            okm = lpt_in & (lpt_idx >= 0)
-            okm[len(lp_ids):] = False
-            sel = np.nonzero(okm)[0]
-            cur_pt_ids = np.full(n, -1, np.int32)
-            cur_pt_ids[lpt_idx[sel]] = lp_ids[sel]
-            # found/visible counters (MapPoint::IncreaseVisible/Found)
-            vis = np.asarray(lout.pt_visible)[: len(lp_ids)]
-            self.map.pt_visible[lp_ids[vis]] += 1
-            self.map.pt_found[lp_ids[sel]] += 1
-            lln_idx = np.array(lout.ln_idx)
-            lln_in = np.array(lout.ln_inlier)
-            okl = lln_in & (lln_idx >= 0)
-            okl[len(ll_ids):] = False
-            lsel = np.nonzero(okl)[0]
-            cur_ln_ids = np.full(nl, -1, np.int32)
-            cur_ln_ids[lln_idx[lsel]] = ll_ids[lsel]
+        self.last_pose = (R, t)
+        self.last_pt_ids = cur_pt_ids
+        self.last_ln_ids = cur_ln_ids
+        self.trajectory.append((timestamp, R.copy(), t.copy()))
 
-        R_np = np.asarray(R1)
-        t_np = np.asarray(t1)
-
-        # velocity update (Tracking.cc:476-484)
-        Rlw, tlw = se3.inverse(jnp.asarray(last.R), jnp.asarray(last.t))
-        Rv, tv = se3.compose(jnp.asarray(R_np), jnp.asarray(t_np), Rlw, tlw)
-        self.velocity = (np.asarray(Rv), np.asarray(tv))
-
-        host_cur = HostFrame(fd)
-        self.last = LastFrame(host_cur, R_np, t_np, cur_pt_ids, cur_ln_ids)
-        self.trajectory.append((timestamp, R_np.copy(), t_np.copy()))
-
-        # ----------------------------------------------------- new keyframe
-        if self._need_new_keyframe(host_cur, cur_pt_ids, n_in):
-            self._create_new_keyframe(host_cur, R_np, t_np, cur_pt_ids,
-                                      cur_ln_ids, timestamp)
+        if self._need_new_keyframe(int(tc), int(cc), n_in):
+            self._create_new_keyframe(R, t, cur_pt_ids, cur_ln_ids, timestamp)
         return True
 
-    # ----------------------------------------------------- local map harvest
+    # --------------------------------------------------- local map handling
+    def _refresh_local_map(self, cur_pt_ids, cur_ln_ids):
+        """Harvest the covisibility-local map and upload device arrays
+        (UpdateLocalKeyFrames/Points/Lines, Tracking.cc:1867-2035). Called
+        at keyframe events — between keyframes the set barely changes and
+        re-uploading every frame would cost a round trip."""
+        lkfs = self._local_keyframes(cur_pt_ids)
+        lp_ids, ll_ids = self._local_landmarks(lkfs)
+        self._lp_ids = lp_ids
+        self._ll_ids = ll_ids
+        m = self.map
+        LM, LL = self.LM_CAP, self.LL_CAP
+        k = len(lp_ids)
+        p3d = np.zeros((LM, 3), np.float32)
+        desc = np.zeros((LM, 32), np.uint8)
+        normal = np.zeros((LM, 3), np.float32)
+        mind = np.zeros(LM, np.float32)
+        maxd = np.zeros(LM, np.float32)
+        valid = np.zeros(LM, bool)
+        p3d[:k] = m.pt_pos[lp_ids]
+        desc[:k] = m.pt_desc[lp_ids]
+        normal[:k] = m.pt_normal[lp_ids]
+        mind[:k] = m.pt_min_dist[lp_ids]
+        maxd[:k] = m.pt_max_dist[lp_ids]
+        valid[:k] = True
+        kl = len(ll_ids)
+        lep = np.zeros((LL, 2, 3), np.float32)
+        ldesc = np.zeros((LL, 32), np.uint8)
+        lvalid = np.zeros(LL, bool)
+        lep[:kl] = m.ln_ep[ll_ids]
+        ldesc[:kl] = m.ln_desc[ll_ids]
+        lvalid[:kl] = True
+        self._lm_args = tuple(
+            jnp.asarray(a)
+            for a in (p3d, desc, normal, mind, maxd, valid, lep, ldesc, lvalid)
+        )
+        # bindings: per current-frame feature -> slot
+        slot_of_pid = {int(p): i for i, p in enumerate(lp_ids)}
+        fs = np.full(self.cfg.orb.max_keypoints, -1, np.int32)
+        for feat, pid in enumerate(cur_pt_ids):
+            if pid >= 0:
+                s = slot_of_pid.get(int(pid))
+                if s is not None:
+                    fs[feat] = s
+        slot_of_lid = {int(l): i for i, l in enumerate(ll_ids)}
+        fsl = np.full(self.cfg.lines.max_lines, -1, np.int32)
+        for feat, lid in enumerate(cur_ln_ids):
+            if lid >= 0:
+                s = slot_of_lid.get(int(lid))
+                if s is not None:
+                    fsl[feat] = s
+        self._prev_slot_pt = jnp.asarray(fs)
+        self._prev_slot_ln = jnp.asarray(fsl)
+
     def _local_keyframes(self, cur_pt_ids: np.ndarray) -> list[int]:
         """KFs observing current points + covisible neighbors (cap 80)."""
         counts: dict[int, int] = {}
@@ -511,68 +633,20 @@ class Tracker:
         pts = pts[(pts >= 0) & self.map.pt_valid[np.clip(pts, 0, None)]]
         lns = np.unique(self.map.kf_ln_idx[lkfs])
         lns = lns[(lns >= 0) & self.map.ln_valid[np.clip(lns, 0, None)]]
-        return pts[: self._lm_cap].astype(np.int32), lns[: self._ll_cap].astype(np.int32)
-
-    def _gather_local_arrays(self, lp_ids, ll_ids, cur_pt_ids, cur_ln_ids,
-                             motion_pt_idx, motion_ln_idx):
-        m = self.map
-        LM, LL = self._lm_cap, self._ll_cap
-        k = len(lp_ids)
-        p3d = np.zeros((LM, 3), np.float32)
-        desc = np.zeros((LM, 32), np.uint8)
-        normal = np.zeros((LM, 3), np.float32)
-        mind = np.zeros(LM, np.float32)
-        maxd = np.zeros(LM, np.float32)
-        valid = np.zeros(LM, bool)
-        prefeat = np.full(LM, -1, np.int32)
-        p3d[:k] = m.pt_pos[lp_ids]
-        desc[:k] = m.pt_desc[lp_ids]
-        normal[:k] = m.pt_normal[lp_ids]
-        mind[:k] = m.pt_min_dist[lp_ids]
-        maxd[:k] = m.pt_max_dist[lp_ids]
-        valid[:k] = True
-        # pre-matched: current features already bound to these points
-        feat_of_pid = {int(pid): i for i, pid in enumerate(cur_pt_ids) if pid >= 0}
-        for i, pid in enumerate(lp_ids):
-            f = feat_of_pid.get(int(pid))
-            if f is not None:
-                prefeat[i] = f
-
-        kl = len(ll_ids)
-        lep = np.zeros((LL, 2, 3), np.float32)
-        ldesc = np.zeros((LL, 32), np.uint8)
-        lvalid = np.zeros(LL, bool)
-        lpre = np.full(LL, -1, np.int32)
-        lep[:kl] = m.ln_ep[ll_ids]
-        ldesc[:kl] = m.ln_desc[ll_ids]
-        lvalid[:kl] = True
-        feat_of_lid = {int(lid): i for i, lid in enumerate(cur_ln_ids) if lid >= 0}
-        for i, lid in enumerate(ll_ids):
-            f = feat_of_lid.get(int(lid))
-            if f is not None:
-                lpre[i] = f
-        lm_arrays = tuple(map(jnp.asarray, (p3d, desc, normal, mind, maxd, valid, prefeat)))
-        lml_arrays = tuple(map(jnp.asarray, (lep, ldesc, lvalid, lpre)))
-        return lm_arrays, lml_arrays
+        return (pts[: self.LM_CAP].astype(np.int32),
+                lns[: self.LL_CAP].astype(np.int32))
 
     # -------------------------------------------------------- keyframe logic
-    def _need_new_keyframe(self, host: HostFrame, cur_pt_ids, n_inliers) -> bool:
+    def _need_new_keyframe(self, tracked_close, creatable_close, n_inliers):
         """NeedNewKeyFrame RGB-D branch (Tracking.cc:1423-1557)."""
         cfg = self.cfg.tracking
-        close = host.kp_valid & (host.kp_depth > 0) & (host.kp_depth < cfg.th_depth)
-        tracked_close = int((close & (cur_pt_ids >= 0)).sum())
-        creatable_close = int((close & (cur_pt_ids < 0)).sum())
         need_close = (tracked_close < 100) and (creatable_close > 70)
-        # reference matches = ref-KF map points with enough observations
-        # (KeyFrame::TrackedMapPoints(nMinObs), nMinObs=2 until 3 KFs exist)
         min_obs = 2 if self.map.n_kf <= 2 else 3
         ref_tracked = 1
         if self.ref_kf >= 0:
             pids = self.map.kf_pt_idx[self.ref_kf]
             pids = pids[pids >= 0]
             cnt = sum(1 for p in pids if len(self.map.pt_obs[p]) >= min_obs)
-            # right after initialization every point has a single observation;
-            # fall back to obs>=1 so the coverage ratio is still meaningful
             ref_tracked = max(cnt if cnt > 0 else len(pids), 1)
         c1a = self.frame_id >= self.last_kf_id + cfg.max_frames_between_kf
         c1b = self.frame_id >= self.last_kf_id + max(cfg.min_frames_between_kf, 1)
@@ -580,10 +654,10 @@ class Tracker:
         c2 = ((n_inliers < ref_tracked * 0.75) or need_close) and n_inliers > 15
         return bool((c1a or c1b or c1c) and c2)
 
-    def _create_new_keyframe(self, host, R, t, cur_pt_ids, cur_ln_ids, ts):
+    def _create_new_keyframe(self, R, t, cur_pt_ids, cur_ln_ids, ts):
         """CreateNewKeyFrame (Tracking.cc:1567-1744)."""
+        host = HostFrame(jax.device_get(self._prev_fd))  # current frame
         kf = self.map.add_keyframe(host, R, t, self.frame_id, ts)
-        # attach existing observations
         for feat, pid in enumerate(cur_pt_ids):
             if pid >= 0 and self.map.pt_valid[pid]:
                 self.map.add_point_obs(int(pid), kf, feat)
@@ -592,8 +666,10 @@ class Tracker:
                 self.map.add_line_obs(int(lid), kf, feat)
         new_pt = self._create_landmarks_from_depth(kf, host, R, t, cur_pt_ids,
                                                    close_only=True)
+        cur_pt_ids = cur_pt_ids.copy()
         cur_pt_ids[new_pt >= 0] = new_pt[new_pt >= 0]
         new_ln = self._create_lines_from_depth(kf, host, R, t, cur_ln_ids)
+        cur_ln_ids = cur_ln_ids.copy()
         cur_ln_ids[new_ln >= 0] = new_ln[new_ln >= 0]
         self.last_kf_id = self.frame_id
         self.last_kf = kf
@@ -603,11 +679,14 @@ class Tracker:
             self.local_mapper.process_keyframe(kf)
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
+        self.last_pt_ids = cur_pt_ids
+        self.last_ln_ids = cur_ln_ids
+        self._refresh_local_map(cur_pt_ids, cur_ln_ids)
 
     def _create_landmarks_from_depth(self, kf, host, R, t, cur_pt_ids,
                                      close_only: bool) -> np.ndarray:
-        """New map points from depth, closest-first; close ones always,
-        far ones only up to the 100-point floor (Tracking.cc:1630-1700)."""
+        """New map points from depth, closest-first; close ones always, far
+        ones only up to the 100-point floor (Tracking.cc:1630-1700)."""
         cfg = self.cfg
         cam = cfg.camera
         out = np.full(host.kp_valid.shape, -1, np.int32)
@@ -619,31 +698,31 @@ class Tracker:
         n_existing = int((cur_pt_ids >= 0).sum())
         Rwc = R.T
         c = -Rwc @ t
+        # vectorized world positions
+        uv = host.kp_xy_un[order]
+        d = host.kp_depth[order]
+        pc = _backproject_np(cam, uv, d)
+        pw = pc @ Rwc.T + c
+        dist = np.linalg.norm(pw - c, axis=1)
+        level = host.kp_octave[order]
+        max_d = dist * cfg.orb.scale_factor**level
+        min_d = max_d / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
+        normal = (pw - c) / np.maximum(dist[:, None], 1e-6)
         created = 0
-        for feat in order:
-            d = float(host.kp_depth[feat])
-            if close_only and d > cfg.tracking.th_depth and (
+        for j, feat in enumerate(order):
+            if close_only and d[j] > cfg.tracking.th_depth and (
                 n_existing + created >= 100
             ):
                 break
-            pc = _backproject_np(cam, host.kp_xy_un[feat : feat + 1],
-                                 host.kp_depth[feat : feat + 1])[0]
-            pw = Rwc @ pc + c
-            dist = float(np.linalg.norm(pw - c))
-            level = int(host.kp_octave[feat])
-            max_d = dist * cfg.orb.scale_factor**level
-            min_d = max_d / cfg.orb.scale_factor ** (cfg.orb.n_levels - 1)
-            normal = (pw - c) / max(dist, 1e-6)
-            pid = self.map.add_point(pw, host.kp_desc[feat], normal, min_d,
-                                     max_d, kf)
+            pid = self.map.add_point(pw[j], host.kp_desc[feat], normal[j],
+                                     min_d[j], max_d[j], kf)
             self.map.add_point_obs(pid, kf, int(feat))
             out[feat] = pid
             created += 1
         return out
 
     def _create_lines_from_depth(self, kf, host, R, t, cur_ln_ids) -> np.ndarray:
-        """New map lines from endpoint depths (Tracking.cc:1700-1735
-        semantics: both endpoints must carry depth)."""
+        """New map lines from endpoint depths (Tracking.cc:1700-1735)."""
         cfg = self.cfg
         cam = cfg.camera
         out = np.full(host.ln_valid.shape, -1, np.int32)

@@ -46,33 +46,37 @@ def _gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
     return (k / k.sum()).astype(np.float32)
 
 
+def _sep_stencil(img: jax.Array, k: np.ndarray, axis: int) -> jax.Array:
+    """1D stencil along an axis as shifted adds — single-channel convs map
+    terribly onto the TPU conv unit (MXU wants many channels), while a
+    handful of pad-shift-multiply-adds fuse into one VPU pass under XLA."""
+    r = len(k) // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    x = jnp.pad(img, pad, mode="reflect")
+    h, w = img.shape
+    out = None
+    for i, kv in enumerate(k):
+        if axis == 0:
+            s = jax.lax.dynamic_slice(x, (i, 0), (h, w))
+        else:
+            s = jax.lax.dynamic_slice(x, (0, i), (h, w))
+        term = s * float(kv)
+        out = term if out is None else out + term
+    return out
+
+
 def gaussian_blur(img: jax.Array, ksize: int = 7, sigma: float = 2.0) -> jax.Array:
     """Separable Gaussian blur with reflect-101 borders (OpenCV default)."""
-    k = jnp.asarray(_gaussian_kernel_1d(ksize, sigma))
-    r = ksize // 2
-    x = jnp.pad(img, ((r, r), (r, r)), mode="reflect")
-    # rows
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, None, :], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    # cols
-    x = jax.lax.conv_general_dilated(
-        x[None, None], k[None, None, :, None], (1, 1), "VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[0, 0]
-    return x
+    k = _gaussian_kernel_1d(ksize, sigma)
+    x = _sep_stencil(img, k, 1)
+    return _sep_stencil(x, k, 0)
 
 
 def sobel_gradients(img: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Sobel dx, dy with reflect borders. Returns (gx, gy), same shape."""
-    kx = jnp.asarray([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]])
-    ky = kx.T
-    x = jnp.pad(img, 1, mode="reflect")[None, None]
-    gx = jax.lax.conv_general_dilated(
-        x, kx[None, None], (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )[0, 0]
-    gy = jax.lax.conv_general_dilated(
-        x, ky[None, None], (1, 1), "VALID", dimension_numbers=("NCHW", "OIHW", "NCHW")
-    )[0, 0]
+    d = np.array([-1.0, 0.0, 1.0], np.float32)
+    s = np.array([1.0, 2.0, 1.0], np.float32)
+    gx = _sep_stencil(_sep_stencil(img, d, 1), s, 0)
+    gy = _sep_stencil(_sep_stencil(img, s, 1), d, 0)
     return gx, gy

