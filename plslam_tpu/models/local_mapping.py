@@ -78,10 +78,10 @@ def fuse_step(
 
 
 class LocalMapper:
-    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, ba=None):
+    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, enable_ba: bool = True):
         self.cfg = cfg
         self.map = slam_map
-        self.ba = ba  # callable(map, kf) -> None, set once local BA exists
+        self.enable_ba = enable_ba
         self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
         self.recent_lines: list[tuple[int, int]] = []
         self._fuse_cap = 4096
@@ -99,8 +99,8 @@ class LocalMapper:
         self.cull_points(kf)
         self.cull_lines(kf)
         self.fuse(kf)
-        if self.ba is not None and self.map.n_kf > 2:
-            self.ba(self.map, kf)
+        if self.enable_ba and self.map.n_kf > 2:
+            self.run_local_ba(kf)
 
     # ------------------------------------------------------------- culling
     def cull_points(self, current_kf: int):
@@ -218,6 +218,157 @@ class LocalMapper:
         m.pt_obs[loser].clear()
         m.pt_valid[loser] = False
         m._pt_free.append(loser)
+
+    # ------------------------------------------------------------- local BA
+    def run_local_ba(self, kf: int):
+        """Gather the covisibility-local BA problem, run the jitted Schur LM
+        (optim.local_ba), write back poses/landmarks, erase outlier
+        observations (LocalBundleAdjustment, Optimizer.cc:644-1063 — with
+        line landmarks live, as the reference's dead code intended)."""
+        import jax.numpy as jnp
+
+        from ..optim import local_ba
+
+        m = self.map
+        mc = self.cfg.mapping
+        C = mc.local_ba_window + mc.local_ba_fixed_cap
+        P = mc.local_ba_point_cap
+        O = mc.local_ba_obs_cap
+        L = 256
+        OL = 1024
+
+        local = [kf] + m.covisible_keyframes(kf, mc.local_ba_window - 1)
+        local = local[: mc.local_ba_window]
+        local_set = set(local)
+        # landmarks seen by local KFs
+        pids = np.unique(m.kf_pt_idx[local])
+        pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]][:P]
+        lids = np.unique(m.kf_ln_idx[local])
+        lids = lids[(lids >= 0) & m.ln_valid[np.clip(lids, 0, None)]][:L]
+        # fixed cameras: other observers of those landmarks
+        fixed = []
+        fixed_seen = set(local_set)
+        for pid in pids:
+            for okf in m.pt_obs[pid]:
+                if okf not in fixed_seen:
+                    fixed.append(okf)
+                    fixed_seen.add(okf)
+            if len(fixed) >= mc.local_ba_fixed_cap:
+                break
+        cams = local + fixed[: mc.local_ba_fixed_cap]
+        cam_index = {c: i for i, c in enumerate(cams)}
+        nC = len(cams)
+
+        prob = local_ba.make_problem(C, P, O, L, OL)
+        cam_R = np.array(prob.cam_R)
+        cam_t = np.array(prob.cam_t)
+        cam_fixed = np.zeros(C, bool)
+        cam_valid = np.zeros(C, bool)
+        for i, c in enumerate(cams):
+            cam_R[i] = m.kf_R[c]
+            cam_t[i] = m.kf_t[c]
+            cam_valid[i] = True
+            cam_fixed[i] = (i >= len(local)) or (c == 0)
+        if not cam_fixed[:nC].any():
+            cam_fixed[0] = True  # gauge
+
+        scale = self.cfg.orb.scale_factor
+        pt_index = {int(p): i for i, p in enumerate(pids)}
+        oc, op, ouv, our, ow, oval = [], [], [], [], [], []
+        for i, pid in enumerate(pids):
+            for okf, feat in m.pt_obs[pid].items():
+                ci = cam_index.get(okf)
+                if ci is None or len(oc) >= O:
+                    continue
+                hf = m.kf_frames[okf]
+                oc.append(ci)
+                op.append(i)
+                ouv.append(hf.kp_xy_un[feat])
+                our.append(hf.kp_ur[feat])
+                ow.append((1.0 / scale**2) ** int(hf.kp_octave[feat]))
+                oval.append(True)
+        lc, ll, luv, lw, lval = [], [], [], [], []
+        for i, lid in enumerate(lids):
+            for okf, feat in m.ln_obs[lid].items():
+                ci = cam_index.get(okf)
+                if ci is None or len(lc) >= OL:
+                    continue
+                hf = m.kf_frames[okf]
+                lc.append(ci)
+                ll.append(i)
+                luv.append(hf.ln_ep_un[feat])
+                lw.append(1.0)
+                lval.append(True)
+        if len(oc) < 20:
+            return
+
+        def pad(arr, n, shape=(), dtype=np.float32):
+            a = np.zeros((n,) + shape, dtype)
+            if len(arr):
+                a[: len(arr)] = np.asarray(arr, dtype)
+            return a
+
+        k = len(pids)
+        pt_xyz = np.zeros((P, 3), np.float32)
+        pt_xyz[:k] = m.pt_pos[pids]
+        pt_valid = np.zeros(P, bool)
+        pt_valid[:k] = True
+        kl = len(lids)
+        ln_ep = np.zeros((L, 2, 3), np.float32)
+        ln_ep[:kl] = m.ln_ep[lids]
+        ln_valid = np.zeros(L, bool)
+        ln_valid[:kl] = True
+
+        prob = prob._replace(
+            cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+            cam_fixed=jnp.asarray(cam_fixed), cam_valid=jnp.asarray(cam_valid),
+            pt_xyz=jnp.asarray(pt_xyz), pt_valid=jnp.asarray(pt_valid),
+            obs_cam=jnp.asarray(pad(oc, O, dtype=np.int32)),
+            obs_pt=jnp.asarray(pad(op, O, dtype=np.int32)),
+            obs_uv=jnp.asarray(pad(ouv, O, (2,))),
+            obs_ur=jnp.asarray(pad(our, O)),
+            obs_w=jnp.asarray(pad(ow, O)),
+            obs_valid=jnp.asarray(pad(oval, O, dtype=bool)),
+            ln_ep=jnp.asarray(ln_ep), ln_valid=jnp.asarray(ln_valid),
+            lobs_cam=jnp.asarray(pad(lc, OL, dtype=np.int32)),
+            lobs_ln=jnp.asarray(pad(ll, OL, dtype=np.int32)),
+            lobs_uv=jnp.asarray(pad(luv, OL, (2, 2))),
+            lobs_w=jnp.asarray(pad(lw, OL)),
+            lobs_valid=jnp.asarray(pad(lval, OL, dtype=bool)),
+        )
+        res = local_ba.bundle_adjust(
+            self.cfg.camera, prob, iters1=mc.local_ba_iters1,
+            iters2=mc.local_ba_iters2,
+        )
+        (nR, nt, nxyz, nep, inl, linl) = jax.device_get(
+            (res.cam_R, res.cam_t, res.pt_xyz, res.ln_ep,
+             res.obs_inlier, res.lobs_inlier)
+        )
+        # write back
+        for i, c in enumerate(cams):
+            if not cam_fixed[i]:
+                m.set_kf_pose(c, nR[i], nt[i])
+        m.pt_pos[pids] = nxyz[:k]
+        m.ln_ep[lids] = nep[:kl]
+        # erase outlier observations (Optimizer.cc:1010-1045)
+        for j in range(len(oc)):
+            if not inl[j]:
+                pid = int(pids[op[j]])
+                okf = cams[oc[j]]
+                feat = m.pt_obs[pid].pop(okf, None)
+                if feat is not None:
+                    m.kf_pt_idx[okf, feat] = -1
+                if len(m.pt_obs[pid]) == 0:
+                    m.erase_point(pid)
+        for j in range(len(lc)):
+            if not linl[j]:
+                lid = int(lids[ll[j]])
+                okf = cams[lc[j]]
+                feat = m.ln_obs[lid].pop(okf, None)
+                if feat is not None:
+                    m.kf_ln_idx[okf, feat] = -1
+                if len(m.ln_obs[lid]) == 0:
+                    m.erase_line(lid)
 
     def replace_line(self, loser: int, winner: int):
         m = self.map
