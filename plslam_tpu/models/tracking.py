@@ -390,11 +390,13 @@ class Tracker:
     LL_CAP = 512
 
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap,
-                 local_mapper=None, loop_closer=None):
+                 local_mapper=None, loop_closer=None, voc=None, kfdb=None):
         self.cfg = cfg
         self.map = slam_map
         self.local_mapper = local_mapper
         self.loop_closer = loop_closer
+        self.voc = voc
+        self.kfdb = kfdb
         self.state = NOT_INITIALIZED
         self.frame_id = -1
         self.last_kf_id = -1
@@ -433,14 +435,63 @@ class Tracker:
                 self.state = OK
                 return self.last_pose
             return None
+        if self.state == LOST:
+            self._prev_fd = mframe.build_frame(gray, depth, self.cfg)
+            if self._try_relocalize(timestamp):
+                return self.last_pose
+            # reference: reset if lost right after init (Tracking.cc:560-568)
+            if self.map.n_kf <= self.cfg.tracking.reset_if_lost_with_kfs_leq \
+                    and self.n_lost_frames > 20:
+                self.reset()
+            self.n_lost_frames += 1
+            return None
         ok = self._track(gray, depth, timestamp)
         if not ok:
             self.n_lost_frames += 1
             self.state = LOST
+            # immediately try to relocalize on this same frame
+            if self._try_relocalize(timestamp):
+                return self.last_pose
         else:
             self.state = OK
             self.n_lost_frames = 0
         return self.last_pose
+
+    def _try_relocalize(self, timestamp: float) -> bool:
+        """Relocalization against the keyframe database (Tracking.cc:2049)."""
+        from .relocalization import try_relocalize
+
+        out = try_relocalize(self, self._prev_fd)
+        if out is None:
+            return False
+        R, t, cur_pt_ids = out
+        self.state = OK
+        self.n_lost_frames = 0
+        self.last_pose = (R, t)
+        self.last_pt_ids = cur_pt_ids
+        self.last_ln_ids = np.full(self.cfg.lines.max_lines, -1, np.int32)
+        self.trajectory.append((timestamp, R.copy(), t.copy()))
+        self._R = jnp.asarray(R)
+        self._t = jnp.asarray(t)
+        self._has_vel = jnp.asarray(False)
+        self._refresh_local_map(cur_pt_ids, self.last_ln_ids)
+        return True
+
+    def reset(self):
+        """Full system reset (Tracking::Reset, Tracking.cc:2271-2317)."""
+        self.map.reset()
+        if self.kfdb is not None:
+            self.kfdb.has[:] = False
+        if self.local_mapper is not None:
+            self.local_mapper.recent_points.clear()
+            self.local_mapper.recent_lines.clear()
+        self.state = NOT_INITIALIZED
+        self.last_kf_id = -1
+        self.last_kf = -1
+        self.ref_kf = -1
+        self.n_lost_frames = 0
+        self._has_vel = jnp.asarray(False)
+        self._lm_args = None
 
     # ------------------------------------------------------ initialization
     def _stereo_initialization(self, fd: FrameData, timestamp: float) -> bool:
@@ -469,6 +520,7 @@ class Tracker:
         if self.local_mapper is not None:
             self.local_mapper.on_new_landmarks(kf, pt_ids, ln_ids)
             self.local_mapper.process_keyframe(kf)
+        self._register_bow(kf, fd)
         # device state
         self._prev_fd = fd
         self._R = jnp.asarray(R)
@@ -677,11 +729,17 @@ class Tracker:
         if self.local_mapper is not None:
             self.local_mapper.on_new_landmarks(kf, new_pt, new_ln)
             self.local_mapper.process_keyframe(kf)
+        self._register_bow(kf, self._prev_fd)
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
         self.last_pt_ids = cur_pt_ids
         self.last_ln_ids = cur_ln_ids
         self._refresh_local_map(cur_pt_ids, cur_ln_ids)
+
+    def _register_bow(self, kf: int, fd: FrameData):
+        if self.kfdb is not None and self.voc is not None:
+            _, bow = self.voc.transform(fd.kp_desc, fd.kp_valid)
+            self.kfdb.add(kf, np.asarray(bow))
 
     def _create_landmarks_from_depth(self, kf, host, R, t, cur_pt_ids,
                                      close_only: bool) -> np.ndarray:

@@ -1,0 +1,90 @@
+"""Closed-form rigid / similarity alignment + vmapped RANSAC.
+
+The minimal-solver engine behind relocalization and loop closing, replacing
+the reference's ``Sim3Solver`` (Horn quaternion method + RANSAC,
+/root/reference/src/Sim3Solver.cc) and — for RGB-D — its EPnP relocalization
+(``PnPsolver``, src/PnPsolver.cc): with per-keypoint depth available, the
+3D-3D alignment is strictly better conditioned than 3D-2D EPnP, and the
+whole RANSAC (hundreds of 3-point Kabsch solves + inlier counts) runs as
+one vmapped program instead of the reference's sequential iterate() loop.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def kabsch(src: jax.Array, dst: jax.Array, w: jax.Array | None = None,
+           with_scale: bool = False):
+    """Least-squares (s)R,t with dst ≈ s * R @ src + t. src/dst: (N, 3)."""
+    if w is None:
+        w = jnp.ones(src.shape[0])
+    wsum = jnp.sum(w) + 1e-9
+    cs = jnp.sum(src * w[:, None], 0) / wsum
+    cd = jnp.sum(dst * w[:, None], 0) / wsum
+    s0 = src - cs
+    d0 = dst - cd
+    H = (s0 * w[:, None]).T @ d0
+    U, S, Vt = jnp.linalg.svd(H)
+    d = jnp.sign(jnp.linalg.det(Vt.T @ U.T))
+    D = jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.array([1.0, 1.0, 1.0])).at[2, 2].set(d)
+    R = Vt.T @ D @ U.T
+    if with_scale:
+        # Umeyama: s = trace(D diag(S)) / (sum_w ||src - c||^2)
+        var = jnp.sum(w[:, None] * s0 * s0)
+        scale = jnp.sum(S * jnp.array([1.0, 1.0, d])) / (var + 1e-12)
+    else:
+        scale = jnp.float32(1.0)
+    t = cd - scale * (R @ cs)
+    return scale, R, t
+
+
+@functools.partial(jax.jit, static_argnames=("n_hyp", "with_scale"))
+def ransac_align(
+    src: jax.Array,      # (M, 3)
+    dst: jax.Array,      # (M, 3)
+    valid: jax.Array,    # (M,)
+    key: jax.Array,
+    thresh: float = 0.07,
+    n_hyp: int = 256,
+    with_scale: bool = False,
+):
+    """Vmapped 3-point RANSAC for dst ≈ sR src + t.
+
+    Returns (s, R, t, inliers (M,), n_inliers). The final model is a
+    weighted Kabsch refit on the best hypothesis' inliers.
+    """
+    M = src.shape[0]
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    # sample only among valid rows: build index list of valid entries
+    order = jnp.argsort(~valid)  # valid first
+    pool = jnp.maximum(n_valid, 3)
+    samples = jax.random.randint(key, (n_hyp, 3), 0, pool)
+    sample_idx = order[samples]  # (n_hyp, 3)
+
+    def hyp(idx):
+        s, R, t = kabsch(src[idx], dst[idx], with_scale=with_scale)
+        resid = jnp.linalg.norm(dst - (s * (src @ R.T) + t), axis=1)
+        inl = (resid < thresh) & valid
+        return jnp.sum(inl.astype(jnp.int32)), s, R, t
+
+    scores, ss, Rs, ts = jax.vmap(hyp)(sample_idx)
+    best = jnp.argmax(scores)
+    s_b, R_b, t_b = ss[best], Rs[best], ts[best]
+    resid = jnp.linalg.norm(dst - (s_b * (src @ R_b.T) + t_b), axis=1)
+    inl = (resid < thresh) & valid
+    # refit on inliers
+    s_f, R_f, t_f = kabsch(src, dst, w=inl.astype(jnp.float32),
+                           with_scale=with_scale)
+    resid2 = jnp.linalg.norm(dst - (s_f * (src @ R_f.T) + t_f), axis=1)
+    inl2 = (resid2 < thresh) & valid
+    ok = jnp.sum(inl2.astype(jnp.int32)) >= jnp.sum(inl.astype(jnp.int32))
+    pick = lambda a, b: jnp.where(ok, a, b)
+    s_o = pick(s_f, s_b)
+    R_o = jnp.where(ok, R_f, R_b)
+    t_o = jnp.where(ok, t_f, t_b)
+    inl_o = jnp.where(ok, inl2, inl)
+    return s_o, R_o, t_o, inl_o, jnp.sum(inl_o.astype(jnp.int32))
