@@ -80,7 +80,11 @@ class MatcherConfig:
 class TrackingConfig:
     """Frontend state machine thresholds (Tracking.cc)."""
 
-    min_frames_between_kf: int = 0
+    # In the reference mMinFrames=0 but LocalMapping's busy flag throttles
+    # insertion to every few frames; our mapping pass is synchronous, so an
+    # explicit minimum models the same backpressure (without it every frame
+    # becomes a keyframe, points get culled young, and covisibility starves).
+    min_frames_between_kf: int = 3
     max_frames_between_kf: int = 30       # fps (Tracking.cc:90-95)
     th_depth: float = 40.0 / 12.5         # bf * ThDepth/fx semantic; set via yaml
     depth_map_factor: float = 5000.0
@@ -101,7 +105,12 @@ class MappingConfig:
     """LocalMapping pass (LocalMapping.cc)."""
 
     culling_min_found_ratio: float = 0.25
-    culling_min_obs: int = 3
+    # The reference culls landmarks with <=3 observations at age 2
+    # (LocalMapping.cc:280, cnThObs=3) — viable there because triangulated
+    # points are born with 2 observations. This engine seeds landmarks from
+    # RGB-D depth (direct 3D evidence, no multi-view confirmation needed),
+    # so the bar is one lower; 3 starves covisibility under fast rotation.
+    culling_min_obs: int = 2
     triangulation_neighbors: int = 10     # top-N covisible KFs (stereo/RGB-D)
     kf_culling_redundancy: float = 0.9    # ≥90% MPs seen ≥3x elsewhere
     covisibility_weight_min: int = 15     # UpdateConnections threshold

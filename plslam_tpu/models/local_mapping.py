@@ -38,14 +38,14 @@ FUSE_TH_PX = 3.0
 FUSE_DESC_TH = 50  # TH_LOW
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def fuse_step(
+def _fuse_core(
     cfg: SlamConfig,
     # target KF feature arrays
     kp_xy_un, kp_octave, kp_desc, kp_valid,
     # candidate landmarks
     p3d, desc, mind, maxd, valid,
     R, t,
+    radius_px: float = FUSE_TH_PX,
 ):
     """Project candidate points into the target KF and match tightly
     (ORBmatcher::Fuse, th=3*scale^level, desc<=TH_LOW)."""
@@ -65,7 +65,7 @@ def fuse_step(
     ratio = jnp.log(jnp.maximum(maxd, 1e-6) / jnp.maximum(dist, 1e-6))
     pred = jnp.clip(jnp.ceil(ratio / jnp.log(scale)).astype(jnp.int32), 0,
                     cfg.orb.n_levels - 1)
-    radius = FUSE_TH_PX * scale ** pred.astype(jnp.float32)
+    radius = radius_px * scale ** pred.astype(jnp.float32)
     ok = valid & in_img & dist_ok
     gate = (
         matching.window_gate(uv, kp_xy_un, radius)
@@ -75,6 +75,26 @@ def fuse_step(
     )
     m = matching.match_descriptors(desc, kp_desc, gate, FUSE_DESC_TH, dedupe=True)
     return m.idx, m.ok
+
+
+fuse_step = functools.partial(
+    jax.jit, static_argnames=("cfg", "radius_px")
+)(_fuse_core)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "radius_px"))
+def fuse_multi_step(cfg, kp_xy_un, kp_octave, kp_desc, kp_valid,
+                    p3d, desc, mind, maxd, valid, R, t,
+                    radius_px: float = FUSE_TH_PX):
+    """Reverse fusion / two-view seeding: ONE candidate set (the new KF's
+    landmarks) projected into a BATCH of neighbor keyframes — vmapped over
+    the KF axis so the whole neighborhood costs a single dispatch."""
+
+    def single(kxy, koct, kdesc, kval, Rk, tk):
+        return _fuse_core(cfg, kxy, koct, kdesc, kval,
+                          p3d, desc, mind, maxd, valid, Rk, tk, radius_px)
+
+    return jax.vmap(single)(kp_xy_un, kp_octave, kp_desc, kp_valid, R, t)
 
 
 class LocalMapper:
@@ -162,47 +182,113 @@ class LocalMapper:
         cand = cand[cand >= 0]
         cand = np.array([p for p in cand if m.pt_valid[p] and int(p) not in own],
                         np.int32)
-        if len(cand) == 0:
+        if len(cand) > 0:
+            cand = cand[: self._fuse_cap]
+            host = m.kf_frames[kf]
+            C = self._fuse_cap
+            p3d = np.zeros((C, 3), np.float32)
+            desc = np.zeros((C, 32), np.uint8)
+            mind = np.zeros(C, np.float32)
+            maxd = np.zeros(C, np.float32)
+            valid = np.zeros(C, bool)
+            k = len(cand)
+            p3d[:k] = m.pt_pos[cand]
+            desc[:k] = m.pt_desc[cand]
+            mind[:k] = m.pt_min_dist[cand]
+            maxd[:k] = m.pt_max_dist[cand]
+            valid[:k] = True
+            idx, ok = fuse_step(
+                self.cfg,
+                jnp.asarray(host.kp_xy_un), jnp.asarray(host.kp_octave),
+                jnp.asarray(host.kp_desc), jnp.asarray(host.kp_valid),
+                jnp.asarray(p3d), jnp.asarray(desc), jnp.asarray(mind),
+                jnp.asarray(maxd), jnp.asarray(valid),
+                jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
+            )
+            idx = np.array(idx)
+            ok = np.array(ok)
+            ok[k:] = False
+            for i in np.nonzero(ok)[0]:
+                pid = int(cand[i])
+                feat = int(idx[i])
+                bound = int(m.kf_pt_idx[kf, feat])
+                if bound < 0:
+                    m.add_point_obs(pid, kf, feat)
+                elif bound != pid and m.pt_valid[bound]:
+                    # merge: keep the better-observed landmark (Replace)
+                    winner, loser = (
+                        (pid, bound)
+                        if len(m.pt_obs[pid]) >= len(m.pt_obs[bound])
+                        else (bound, pid)
+                    )
+                    self.replace_point(loser, winner)
+
+        # ---- reverse direction / two-view confirmation: project the new
+        # KF's landmarks into the neighbor keyframes (the second half of
+        # SearchInNeighbors, LocalMapping.cc:985-1030 — and the functional
+        # stand-in for CreateNewMapPoints' triangulation, :346-916: a
+        # depth-seeded landmark that re-finds itself in a neighbor keyframe
+        # gains its second observation HERE, which is what lets it survive
+        # MapPointCulling's obs<=3-at-age-2 rule; without this pass every
+        # depth-seeded point dies young and covisibility starves). A wider
+        # 5px window than Fuse's 3px accounts for detector jitter across
+        # view change, like the triangulation path's epipolar (not window)
+        # gating in the reference.
+        own_pids = m.kf_pt_idx[kf]
+        own_pids = own_pids[own_pids >= 0]
+        own_pids = own_pids[m.pt_valid[own_pids]][: 2048]
+        if len(own_pids) == 0 or not ext:
             return
-        cand = cand[: self._fuse_cap]
-        host = m.kf_frames[kf]
-        C = self._fuse_cap
-        p3d = np.zeros((C, 3), np.float32)
-        desc = np.zeros((C, 32), np.uint8)
-        mind = np.zeros(C, np.float32)
-        maxd = np.zeros(C, np.float32)
-        valid = np.zeros(C, bool)
-        k = len(cand)
-        p3d[:k] = m.pt_pos[cand]
-        desc[:k] = m.pt_desc[cand]
-        mind[:k] = m.pt_min_dist[cand]
-        maxd[:k] = m.pt_max_dist[cand]
-        valid[:k] = True
-        idx, ok = fuse_step(
+        targets = ext[:10]
+        K = len(targets)
+        n_kp = self.cfg.orb.max_keypoints
+        kxy = np.stack([m.kf_frames[o].kp_xy_un for o in targets])
+        koct = np.stack([m.kf_frames[o].kp_octave for o in targets])
+        kdesc = np.stack([m.kf_frames[o].kp_desc for o in targets])
+        kval = np.stack([m.kf_frames[o].kp_valid for o in targets])
+        Rs = np.stack([m.kf_R[o] for o in targets])
+        ts = np.stack([m.kf_t[o] for o in targets])
+        C2 = 2048
+        p3d2 = np.zeros((C2, 3), np.float32)
+        desc2 = np.zeros((C2, 32), np.uint8)
+        mind2 = np.zeros(C2, np.float32)
+        maxd2 = np.zeros(C2, np.float32)
+        valid2 = np.zeros(C2, bool)
+        k2 = len(own_pids)
+        p3d2[:k2] = m.pt_pos[own_pids]
+        desc2[:k2] = m.pt_desc[own_pids]
+        mind2[:k2] = m.pt_min_dist[own_pids]
+        maxd2[:k2] = m.pt_max_dist[own_pids]
+        valid2[:k2] = True
+        idx2, ok2 = fuse_multi_step(
             self.cfg,
-            jnp.asarray(host.kp_xy_un), jnp.asarray(host.kp_octave),
-            jnp.asarray(host.kp_desc), jnp.asarray(host.kp_valid),
-            jnp.asarray(p3d), jnp.asarray(desc), jnp.asarray(mind),
-            jnp.asarray(maxd), jnp.asarray(valid),
-            jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
+            jnp.asarray(kxy), jnp.asarray(koct), jnp.asarray(kdesc),
+            jnp.asarray(kval),
+            jnp.asarray(p3d2), jnp.asarray(desc2), jnp.asarray(mind2),
+            jnp.asarray(maxd2), jnp.asarray(valid2),
+            jnp.asarray(Rs), jnp.asarray(ts),
+            radius_px=5.0,
         )
-        idx = np.array(idx)
-        ok = np.array(ok)
-        ok[k:] = False
-        for i in np.nonzero(ok)[0]:
-            pid = int(cand[i])
-            feat = int(idx[i])
-            bound = int(m.kf_pt_idx[kf, feat])
-            if bound < 0:
-                m.add_point_obs(pid, kf, feat)
-            elif bound != pid and m.pt_valid[bound]:
-                # merge: keep the better-observed landmark (MapPoint::Replace)
-                winner, loser = (
-                    (pid, bound)
-                    if len(m.pt_obs[pid]) >= len(m.pt_obs[bound])
-                    else (bound, pid)
-                )
-                self.replace_point(loser, winner)
+        idx2 = np.array(idx2)
+        ok2 = np.array(ok2)
+        ok2[:, k2:] = False
+        for ki, okf in enumerate(targets):
+            for i in np.nonzero(ok2[ki])[0]:
+                pid = int(own_pids[i])
+                if not m.pt_valid[pid]:
+                    continue
+                feat = int(idx2[ki, i])
+                bound = int(m.kf_pt_idx[okf, feat])
+                if bound < 0:
+                    m.add_point_obs(pid, okf, feat)
+                elif bound != pid and m.pt_valid[bound]:
+                    # prefer the older landmark on ties (stability)
+                    winner, loser = (
+                        (bound, pid)
+                        if len(m.pt_obs[bound]) >= len(m.pt_obs[pid])
+                        else (pid, bound)
+                    )
+                    self.replace_point(loser, winner)
 
     def replace_point(self, loser: int, winner: int):
         """MapPoint::Replace (MapPoint.cc): rebind all observations."""
@@ -217,10 +303,9 @@ class LocalMapper:
                 m.pt_obs[winner][okf] = ofeat
         m.pt_obs[loser].clear()
         m.pt_valid[loser] = False
-        m._pt_free.append(loser)
 
     # ------------------------------------------------------------- local BA
-    def run_local_ba(self, kf: int):
+    def run_local_ba(self, kf: int, window: int | None = None):
         """Gather the covisibility-local BA problem, run the jitted Schur LM
         (optim.local_ba), write back poses/landmarks, erase outlier
         observations (LocalBundleAdjustment, Optimizer.cc:644-1063 — with
@@ -231,14 +316,19 @@ class LocalMapper:
 
         m = self.map
         mc = self.cfg.mapping
-        C = mc.local_ba_window + mc.local_ba_fixed_cap
+        window = window or mc.local_ba_window
+        C = window + mc.local_ba_fixed_cap
         P = mc.local_ba_point_cap
         O = mc.local_ba_obs_cap
         L = 256
         OL = 1024
 
-        local = [kf] + m.covisible_keyframes(kf, mc.local_ba_window - 1)
-        local = local[: mc.local_ba_window]
+        if window >= m.n_kf:
+            # global BA: every keyframe participates
+            local = [k for k in range(m.n_kf) if m.kf_valid[k]]
+        else:
+            local = [kf] + m.covisible_keyframes(kf, window - 1)
+        local = local[:window]
         local_set = set(local)
         # landmarks seen by local KFs
         pids = np.unique(m.kf_pt_idx[local])
@@ -382,4 +472,3 @@ class LocalMapper:
                 m.ln_obs[winner][okf] = ofeat
         m.ln_obs[loser].clear()
         m.ln_valid[loser] = False
-        m._ln_free.append(loser)

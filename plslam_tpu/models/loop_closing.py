@@ -1,0 +1,329 @@
+"""Loop closing: detection, relative-pose solve, correction, global refine.
+
+Re-design of the reference ``LoopClosing`` thread (/root/reference/src/
+LoopClosing.cc) as a sequential pass per keyframe:
+
+- DetectLoop (:143-341): min BoW score over covisible KFs → database
+  candidates → covisibility-consistency chaining over >=3 consecutive
+  keyframes.
+- ComputeSim3 (:359-617): per-candidate dense ratio matching of map-point
+  descriptors, then a vmapped 3-point Kabsch RANSAC on the 3D-3D pairs in
+  camera coordinates (RGB-D: scale observable → rigid, the reference's
+  bFixScale=true path), then a projection verification against the
+  candidate's covisibility neighborhood (accept >= 40 matches, :575-607).
+- CorrectLoop (:619-891): propagate the corrected pose to the current
+  covisibility group and its map points, fuse duplicates, optimize the
+  essential graph (optim.pose_graph — SE(3), fixed scale), and run a global
+  bundle adjustment (optim.local_ba at full-map capacity — the reference
+  spawns a GBA thread; here it is one more jitted pass).
+
+The reference's loop pipeline is points-only (SURVEY §2 row 19); so is this
+one — map lines ride along via the pose correction of their reference KFs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import se3 as gse3
+from ..optim import horn
+from ..ops import matching, hamming
+from .map import SlamMap
+
+SIM3_MATCH_MIN = 20
+LOOP_PROJ_ACCEPT = 40
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, kfdb, voc,
+                 local_mapper=None, tracker=None):
+        self.cfg = cfg
+        self.map = slam_map
+        self.kfdb = kfdb
+        self.voc = voc
+        self.local_mapper = local_mapper
+        self.tracker = tracker
+        self.prev_groups: list[tuple[set[int], int]] = []
+        self.last_loop_kf = -(10**9)
+        self.n_loops_closed = 0
+        self.enable_gba = True
+
+    # ------------------------------------------------------------------ main
+    def process_keyframe(self, kf: int):
+        if self.map.n_kf < self.cfg.loop.min_kf_gap:
+            return
+        if kf < self.last_loop_kf + self.cfg.loop.min_kf_gap:
+            return
+        cands = self._detect_loop(kf)
+        if not cands:
+            return
+        for cand in cands:
+            out = self._compute_relative(kf, cand)
+            if out is not None:
+                R12, t12, pairs = out
+                self._correct_loop(kf, cand, R12, t12)
+                self.n_loops_closed += 1
+                self.last_loop_kf = kf
+                return
+
+    # ----------------------------------------------------------- detection
+    def _detect_loop(self, kf: int) -> list[int]:
+        m = self.map
+        bow = self.kfdb.bows[kf]
+        covis = set(m.covisible_keyframes(kf))
+        if not covis:
+            return []
+        scores = self.kfdb.score_all(bow)
+        min_score = min(scores[c] for c in covis)
+        cands = self.kfdb.detect_loop_candidates(
+            kf, bow, float(min_score), covis | {kf}, m
+        )
+        # consistency chaining (LoopClosing.cc:203-341)
+        current_groups: list[tuple[set[int], int]] = []
+        consistent: list[int] = []
+        for c in cands:
+            group = set(m.covisible_keyframes(c, 10)) | {c}
+            count = 0
+            for prev_set, prev_count in self.prev_groups:
+                if group & prev_set:
+                    count = max(count, prev_count + 1)
+            current_groups.append((group, count))
+            if count >= self.cfg.loop.covisibility_consistency_th - 1:
+                consistent.append(c)
+        self.prev_groups = current_groups
+        return consistent
+
+    # ------------------------------------------------------- relative pose
+    def _compute_relative(self, kf1: int, kf2: int):
+        """Match map points of kf1 vs kf2, Kabsch-RANSAC the camera-frame
+        3D pairs, verify by neighborhood projection. Returns (R12, t12,
+        n_pairs) with x_c1 = R12 x_c2 + t12, or None."""
+        m = self.map
+        h1, h2 = m.kf_frames[kf1], m.kf_frames[kf2]
+        p1 = m.kf_pt_idx[kf1]
+        p2 = m.kf_pt_idx[kf2]
+        has1 = (p1 >= 0) & m.pt_valid[np.clip(p1, 0, None)]
+        has2 = (p2 >= 0) & m.pt_valid[np.clip(p2, 0, None)]
+        if has1.sum() < SIM3_MATCH_MIN or has2.sum() < SIM3_MATCH_MIN:
+            return None
+        dist = hamming.hamming_matrix(
+            jnp.asarray(h1.kp_desc), jnp.asarray(h2.kp_desc)
+        )
+        gate = jnp.asarray(has1)[:, None] & jnp.asarray(has2)[None, :]
+        mm = matching.best_matches(dist, gate, max_dist=60,
+                                   nn_ratio=self.cfg.matcher.nn_ratio_reloc)
+        mm = matching.dedupe_targets(mm, len(p2))
+        ok = np.asarray(mm.ok)
+        idx = np.asarray(mm.idx)
+        n_match = int(ok.sum())
+        if n_match < SIM3_MATCH_MIN:
+            return None
+        # camera-frame 3D of the matched map points
+        w1 = m.pt_pos[p1[ok]]
+        w2 = m.pt_pos[p2[idx[ok]]]
+        x1 = w1 @ m.kf_R[kf1].T + m.kf_t[kf1]
+        x2 = w2 @ m.kf_R[kf2].T + m.kf_t[kf2]
+        N = 512
+        src = np.zeros((N, 3), np.float32)
+        dst = np.zeros((N, 3), np.float32)
+        val = np.zeros(N, bool)
+        k = min(len(x1), N)
+        src[:k] = x2[:k]
+        dst[:k] = x1[:k]
+        val[:k] = True
+        s, R12, t12, inl, n_inl = horn.ransac_align(
+            jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
+            jax.random.PRNGKey(kf1), thresh=0.10,
+            with_scale=not self.cfg.loop.fix_scale,
+        )
+        if int(n_inl) < self.cfg.loop.sim3_min_inliers:
+            return None
+        R12 = np.asarray(R12)
+        t12 = np.asarray(t12)
+
+        # verification: project kf2's neighborhood points into kf1 with the
+        # corrected pose; require enough matches (LoopClosing.cc:575-607)
+        neigh = [kf2] + m.covisible_keyframes(kf2, 10)
+        pids = np.unique(m.kf_pt_idx[neigh])
+        pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]]
+        if len(pids) == 0:
+            return None
+        # corrected kf1 pose: T_c1w = T_12 ∘ T_c2w
+        Rc = R12 @ m.kf_R[kf2]
+        tc = R12 @ m.kf_t[kf2] + t12
+        from .local_mapping import fuse_step
+
+        C = 4096
+        p3d = np.zeros((C, 3), np.float32)
+        desc = np.zeros((C, 32), np.uint8)
+        mind = np.zeros(C, np.float32)
+        maxd = np.full(C, 1e9, np.float32)
+        valid = np.zeros(C, bool)
+        k = min(len(pids), C)
+        p3d[:k] = m.pt_pos[pids[:k]]
+        desc[:k] = m.pt_desc[pids[:k]]
+        mind[:k] = 0.0
+        valid[:k] = True
+        fidx, fok = fuse_step(
+            self.cfg,
+            jnp.asarray(h1.kp_xy_un), jnp.asarray(h1.kp_octave),
+            jnp.asarray(h1.kp_desc), jnp.asarray(h1.kp_valid),
+            jnp.asarray(p3d), jnp.asarray(desc), jnp.asarray(mind),
+            jnp.asarray(maxd), jnp.asarray(valid),
+            jnp.asarray(Rc), jnp.asarray(tc),
+        )
+        n_proj = int(np.asarray(fok)[:k].sum())
+        if n_proj < LOOP_PROJ_ACCEPT:
+            return None
+        return R12, t12, n_match
+
+    # ---------------------------------------------------------- correction
+    def _correct_loop(self, kf1: int, kf2: int, R12, t12):
+        m = self.map
+        # corrected current pose
+        R1_corr = R12 @ m.kf_R[kf2]
+        t1_corr = R12 @ m.kf_t[kf2] + t12
+
+        # propagate to the current covisibility group (LoopClosing.cc:660-760)
+        group = [kf1] + m.covisible_keyframes(kf1)
+        R1_old = m.kf_R[kf1].copy()
+        t1_old = m.kf_t[kf1].copy()
+        R1_old_inv = R1_old.T
+        t1_old_inv = -R1_old_inv @ t1_old
+        corrected_pts: set[int] = set()
+        for k in group:
+            # T_k1 = T_kw_old ∘ T_1w_old^-1 ; T_kw_new = T_k1 ∘ T_1w_new
+            Rk1 = m.kf_R[k] @ R1_old_inv
+            tk1 = m.kf_R[k] @ t1_old_inv + m.kf_t[k]
+            R_new = Rk1 @ R1_corr
+            t_new = Rk1 @ t1_corr + tk1
+            # correct this KF's map points: pw' = T_kw_new^-1 ∘ T_kw_old pw
+            pids = m.kf_pt_idx[k]
+            pids = pids[(pids >= 0)]
+            pids = np.array(
+                [p for p in pids if m.pt_valid[p] and p not in corrected_pts],
+                np.int64,
+            )
+            if len(pids):
+                pw = m.pt_pos[pids]
+                pc = pw @ m.kf_R[k].T + m.kf_t[k]
+                Rwn = R_new.T
+                m.pt_pos[pids] = (pc - t_new) @ Rwn.T
+                corrected_pts.update(int(p) for p in pids)
+            lids = m.kf_ln_idx[k]
+            lids = lids[lids >= 0]
+            lids = np.array([l for l in lids if m.ln_valid[l]], np.int64)
+            if len(lids):
+                for i in (0, 1):
+                    ep = m.ln_ep[lids, i]
+                    epc = ep @ m.kf_R[k].T + m.kf_t[k]
+                    m.ln_ep[lids, i] = (epc - t_new) @ R_new
+            m.set_kf_pose(k, R_new, t_new)
+
+        # fuse duplicate landmarks between the loop sides
+        if self.local_mapper is not None:
+            self.local_mapper.fuse(kf1)
+            self.local_mapper.fuse(kf2)
+
+        # essential-graph optimization (Optimizer.cc:1064-1399 semantics)
+        self._optimize_essential_graph(kf1, kf2, set(group))
+
+        # global BA (reference spawns a thread; sequential pass here)
+        if self.enable_gba and self.map.n_kf <= 60:
+            self._global_ba(kf1)
+        m.big_change_idx += 1
+        if self.tracker is not None and self.tracker.last_kf == kf1:
+            R, t = m.kf_R[kf1], m.kf_t[kf1]
+            self.tracker.last_pose = (R.copy(), t.copy())
+            self.tracker._R = jnp.asarray(R)
+            self.tracker._t = jnp.asarray(t)
+            self.tracker._has_vel = jnp.asarray(False)
+
+    def _optimize_essential_graph(self, kf1: int, kf2: int, group: set[int]):
+        from ..optim import pose_graph
+
+        m = self.map
+        K = m.n_kf
+        KCAP = 1 << (K - 1).bit_length()
+        edges = []
+        # spanning tree: consecutive keyframes
+        for k in range(1, K):
+            if m.kf_valid[k] and m.kf_valid[k - 1]:
+                edges.append((k - 1, k, 1.0))
+        # strong covisibility edges
+        for k in range(K):
+            if not m.kf_valid[k]:
+                continue
+            counts = m.covisibility_counts(k)
+            for o, c in counts.items():
+                if c >= 100 and o > k + 1:
+                    edges.append((k, o, 1.0))
+        # the loop edge
+        edges.append((kf2, kf1, 5.0))
+        E = len(edges)
+        ECAP = 1 << (E - 1).bit_length()
+        prob = pose_graph.make_problem(KCAP, ECAP)
+        R = np.array(prob.R)
+        t = np.array(prob.t)
+        R[:K] = m.kf_R[:K]
+        t[:K] = m.kf_t[:K]
+        valid = np.zeros(KCAP, bool)
+        valid[:K] = m.kf_valid[:K]
+        fixed = np.zeros(KCAP, bool)
+        fixed[kf2] = True
+        fixed[0] = True
+        ei = np.zeros(ECAP, np.int32)
+        ej = np.zeros(ECAP, np.int32)
+        Rm = np.array(prob.R_meas)
+        tm = np.array(prob.t_meas)
+        w = np.zeros(ECAP, np.float32)
+        ev = np.zeros(ECAP, bool)
+        for n, (i, j, wt) in enumerate(edges):
+            ei[n] = i
+            ej[n] = j
+            # measurement from current (post-propagation) poses
+            Rji = m.kf_R[j].T
+            tji = -Rji @ m.kf_t[j]
+            Rm[n] = m.kf_R[i] @ Rji
+            tm[n] = m.kf_R[i] @ tji + m.kf_t[i]
+            w[n] = wt
+            ev[n] = True
+        prob = prob._replace(
+            R=jnp.asarray(R), t=jnp.asarray(t),
+            fixed=jnp.asarray(fixed), valid=jnp.asarray(valid),
+            ei=jnp.asarray(ei), ej=jnp.asarray(ej),
+            R_meas=jnp.asarray(Rm), t_meas=jnp.asarray(tm),
+            w=jnp.asarray(w), e_valid=jnp.asarray(ev),
+        )
+        Rn, tn = pose_graph.optimize_pose_graph(
+            prob, iters=self.cfg.loop.essential_graph_iters
+        )
+        Rn = np.asarray(Rn)
+        tn = np.asarray(tn)
+        # apply + correct landmarks via their first KF's correction
+        old_R = m.kf_R[:K].copy()
+        old_t = m.kf_t[:K].copy()
+        for k in range(K):
+            if m.kf_valid[k]:
+                m.set_kf_pose(k, Rn[k], tn[k])
+        pids = m.point_ids()
+        ref_kf = np.clip(m.pt_first_kf[pids], 0, K - 1)
+        for pid, rk in zip(pids, ref_kf):
+            pc = old_R[rk] @ m.pt_pos[pid] + old_t[rk]
+            m.pt_pos[pid] = Rn[rk].T @ (pc - tn[rk])
+        lids = m.line_ids()
+        ref_lk = np.clip(m.ln_first_kf[lids], 0, K - 1)
+        for lid, rk in zip(lids, ref_lk):
+            for i in (0, 1):
+                pc = old_R[rk] @ m.ln_ep[lid, i] + old_t[rk]
+                m.ln_ep[lid, i] = Rn[rk].T @ (pc - tn[rk])
+
+    def _global_ba(self, kf1: int):
+        """Full-map BA (RunGlobalBundleAdjustment, LoopClosing.cc:972-1119)."""
+        if self.local_mapper is None:
+            return
+        # reuse the local-BA gatherer with the window covering all KFs
+        self.local_mapper.run_local_ba(kf1, window=64)

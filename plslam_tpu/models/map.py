@@ -75,7 +75,12 @@ class SlamMap:
         self.pt_visible = np.zeros(cap.max_points, np.int32)
         self.pt_found = np.zeros(cap.max_points, np.int32)
         self.pt_obs: list[dict[int, int]] = [dict() for _ in range(cap.max_points)]
-        self._pt_free: list[int] = list(range(cap.max_points - 1, -1, -1))
+        # Monotonic allocation — freed ids are NOT recycled: the tracker's
+        # device-resident local map holds ids between refreshes, and a
+        # recycled id would silently rebind its matches to an unrelated new
+        # landmark. (Compaction at a safe sync point is the long-run story;
+        # the arena is sized for full-sequence footprints.)
+        self._pt_next = 0
 
         # map lines (endpoint representation; Plücker derived on the fly)
         self.ln_ep = np.zeros((cap.max_lines, 2, 3), np.float32)
@@ -85,17 +90,16 @@ class SlamMap:
         self.ln_visible = np.zeros(cap.max_lines, np.int32)
         self.ln_found = np.zeros(cap.max_lines, np.int32)
         self.ln_obs: list[dict[int, int]] = [dict() for _ in range(cap.max_lines)]
-        self._ln_free: list[int] = list(range(cap.max_lines - 1, -1, -1))
+        self._ln_next = 0
 
         self.big_change_idx = 0  # Map::InformNewBigChange counter
 
     # ---------------------------------------------------------------- points
-    def alloc_points(self, n: int) -> np.ndarray:
-        ids = np.array([self._pt_free.pop() for _ in range(n)], np.int32)
-        return ids
-
     def add_point(self, pos, desc, normal, min_d, max_d, first_kf) -> int:
-        pid = int(self._pt_free.pop())
+        pid = self._pt_next
+        if pid >= self.pt_pos.shape[0]:
+            raise RuntimeError("point arena full — compaction needed")
+        self._pt_next += 1
         self.pt_pos[pid] = pos
         self.pt_desc[pid] = desc
         self.pt_normal[pid] = normal
@@ -116,7 +120,6 @@ class SlamMap:
                 self.kf_pt_idx[kf, feat] = -1
         self.pt_obs[pid].clear()
         self.pt_valid[pid] = False
-        self._pt_free.append(pid)
 
     def add_point_obs(self, pid: int, kf: int, feat: int):
         self.pt_obs[pid][kf] = feat
@@ -124,7 +127,10 @@ class SlamMap:
 
     # ----------------------------------------------------------------- lines
     def add_line(self, ep, desc, first_kf) -> int:
-        lid = int(self._ln_free.pop())
+        lid = self._ln_next
+        if lid >= self.ln_ep.shape[0]:
+            raise RuntimeError("line arena full — compaction needed")
+        self._ln_next += 1
         self.ln_ep[lid] = ep
         self.ln_desc[lid] = desc
         self.ln_valid[lid] = True
@@ -142,7 +148,6 @@ class SlamMap:
                 self.kf_ln_idx[kf, feat] = -1
         self.ln_obs[lid].clear()
         self.ln_valid[lid] = False
-        self._ln_free.append(lid)
 
     def add_line_obs(self, lid: int, kf: int, feat: int):
         self.ln_obs[lid][kf] = feat

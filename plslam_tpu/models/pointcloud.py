@@ -1,0 +1,103 @@
+"""Dense point-cloud mapping.
+
+Re-design of the reference's ``PointCloudMapping`` thread
+(/root/reference/src/PointCloudMapping.cc): every keyframe contributes a
+subsampled back-projection of its depth map (every 3rd pixel, 0.01 < d < 10,
+:63-119), accumulated into a voxel-deduplicated global cloud (1 cm grid,
+:120-160) and rebuilt from corrected keyframe poses after a loop
+(is_loop_, :168-176). The thread + condition variable disappear: the
+unprojection is one jitted batch per keyframe and the voxel dedup is a hash
+on quantized coordinates.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def unproject_keyframe(cfg: SlamConfig, gray: jax.Array, depth: jax.Array,
+                       R: jax.Array, t: jax.Array):
+    """Back-project a subsampled depth image to world points.
+
+    Returns (xyz (M, 3), intensity (M,), valid (M,)) with M fixed by the
+    stride."""
+    cam = cfg.camera
+    s = cfg.cloud.pixel_stride
+    d = depth[::s, ::s]
+    g = gray[::s, ::s]
+    h, w = d.shape
+    vs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * s
+    us = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * s
+    ok = (d > cfg.cloud.depth_min) & (d < cfg.cloud.depth_max)
+    x = (us - cam.cx) / cam.fx * d
+    y = (vs - cam.cy) / cam.fy * d
+    pc = jnp.stack([x, y, d], -1).reshape(-1, 3)
+    Rwc = R.T
+    c = -(Rwc @ t)
+    pw = pc @ Rwc.T + c
+    return pw, g.reshape(-1), ok.reshape(-1)
+
+
+class PointCloudMapper:
+    """Accumulates voxel-deduplicated dense geometry per keyframe."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.voxels: dict[tuple, tuple] = {}
+        self.kf_inputs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def insert_keyframe(self, kf: int, gray: np.ndarray, depth: np.ndarray,
+                        R: np.ndarray, t: np.ndarray):
+        self.kf_inputs[kf] = (gray.astype(np.float32), depth.astype(np.float32))
+        self._accumulate(gray, depth, R, t)
+
+    def _accumulate(self, gray, depth, R, t):
+        pw, inten, ok = unproject_keyframe(
+            self.cfg, jnp.asarray(gray), jnp.asarray(depth),
+            jnp.asarray(R), jnp.asarray(t),
+        )
+        pw = np.asarray(pw)[np.asarray(ok)]
+        inten = np.asarray(inten)[np.asarray(ok)]
+        q = np.floor(pw / self.cfg.cloud.voxel_size).astype(np.int64)
+        # voxel hash dedup (keep first sample per voxel)
+        keys = q[:, 0] * 73856093 ^ q[:, 1] * 19349663 ^ q[:, 2] * 83492791
+        _, first = np.unique(keys, return_index=True)
+        for i in first:
+            self.voxels[tuple(q[i])] = (pw[i], inten[i])
+
+    def rebuild(self, slam_map):
+        """Rebuild the global cloud from (corrected) keyframe poses — the
+        reference's loop-triggered rebuild (PointCloudMapping.cc:168-176)."""
+        self.voxels.clear()
+        for kf, (gray, depth) in self.kf_inputs.items():
+            if slam_map.kf_valid[kf]:
+                self._accumulate(gray, depth, slam_map.kf_R[kf],
+                                 slam_map.kf_t[kf])
+
+    def cloud(self) -> tuple[np.ndarray, np.ndarray]:
+        if not self.voxels:
+            return np.zeros((0, 3), np.float32), np.zeros(0, np.float32)
+        pts = np.stack([v[0] for v in self.voxels.values()])
+        inten = np.array([v[1] for v in self.voxels.values()], np.float32)
+        return pts, inten
+
+    def save_pcd(self, path: str):
+        """ASCII PCD (the reference saves result.pcd via PCL,
+        System.cc:507)."""
+        pts, inten = self.cloud()
+        with open(path, "w") as f:
+            f.write("# .PCD v0.7 - Point Cloud Data file format\n")
+            f.write("VERSION 0.7\nFIELDS x y z intensity\n")
+            f.write("SIZE 4 4 4 4\nTYPE F F F F\nCOUNT 1 1 1 1\n")
+            f.write(f"WIDTH {len(pts)}\nHEIGHT 1\n")
+            f.write("VIEWPOINT 0 0 0 1 0 0 0\n")
+            f.write(f"POINTS {len(pts)}\nDATA ascii\n")
+            for p, i in zip(pts, inten):
+                f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f} {i:.1f}\n")

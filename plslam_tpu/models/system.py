@@ -1,0 +1,142 @@
+"""System facade: owns the map, all pipeline passes, and the savers.
+
+The TPU-native equivalent of ``ORB_SLAM2::System``
+(/root/reference/include/System.h, src/System.cc): construction wires
+vocabulary → keyframe database → map → tracking / local-mapping /
+loop-closing / dense-cloud passes (the reference launches std::threads,
+:86-118; here the passes run sequentially per frame / per keyframe),
+``track_rgbd`` is the per-frame entry (TrackRGBD, :175-230), and the savers
+emit byte-compatible TUM / KITTI trajectories and a PCD cloud
+(:337-487, :507).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..bow.database import KeyFrameDatabase
+from ..bow.vocabulary import Vocabulary
+from ..config import SlamConfig
+from ..geometry import se3
+from ..utils import tum_io
+from .local_mapping import LocalMapper
+from .loop_closing import LoopCloser
+from .map import SlamMap
+from .pointcloud import PointCloudMapper
+from .tracking import LOST, NOT_INITIALIZED, OK, Tracker
+
+_DEFAULT_VOCAB = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "bow", "vocab_synth.npz",
+)
+
+
+class System:
+    def __init__(self, cfg: SlamConfig, vocabulary_path: str | None = None,
+                 enable_loop_closing: bool = True,
+                 enable_dense_cloud: bool = False,
+                 localization_only: bool = False):
+        self.cfg = cfg
+        vocab_path = vocabulary_path or _DEFAULT_VOCAB
+        if vocab_path.endswith(".txt"):
+            self.voc = Vocabulary  # pragma: no cover - heavy external file
+            from ..bow.vocabulary import load_dbow2_text
+
+            self.voc = load_dbow2_text(vocab_path)
+        else:
+            self.voc = Vocabulary.load(vocab_path)
+        self.map = SlamMap(cfg)
+        self.kfdb = KeyFrameDatabase(self.voc, cfg.capacity.max_keyframes)
+        self.local_mapper = LocalMapper(cfg, self.map,
+                                        enable_ba=not localization_only)
+        self.loop_closer = (
+            LoopCloser(cfg, self.map, self.kfdb, self.voc, self.local_mapper)
+            if enable_loop_closing else None
+        )
+        self.tracker = Tracker(cfg, self.map, local_mapper=self.local_mapper,
+                               loop_closer=self.loop_closer, voc=self.voc,
+                               kfdb=self.kfdb)
+        if self.loop_closer is not None:
+            self.loop_closer.tracker = self.tracker
+        self.cloud = PointCloudMapper(cfg) if enable_dense_cloud else None
+        self.localization_only = localization_only
+        self._last_n_kf = 0
+
+    # ------------------------------------------------------------------ API
+    def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
+                   timestamp: float):
+        """Track one RGB-D frame; returns (R, t) world-to-camera or None.
+        ``depth`` in metres (apply DepthMapFactor upstream, Tracking.cc:228)."""
+        out = self.tracker.process(gray, depth, timestamp)
+        if self.cloud is not None and self.map.n_kf != self._last_n_kf:
+            kf = self.map.n_kf - 1
+            self.cloud.insert_keyframe(kf, gray, depth, self.map.kf_R[kf],
+                                       self.map.kf_t[kf])
+            self._last_n_kf = self.map.n_kf
+        return out
+
+    def activate_localization_mode(self):
+        """ActivateLocalizationMode (System.cc:129-140): freeze mapping."""
+        self.local_mapper.enable_ba = False
+        self.localization_only = True
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.local_mapper.enable_ba = True
+        self.localization_only = False
+        self.tracker.only_tracking = False
+
+    def reset(self):
+        self.tracker.reset()
+
+    def shutdown(self):
+        """Nothing to join — passes are synchronous; kept for API parity
+        (System::Shutdown, System.cc:313-335)."""
+
+    def map_changed(self) -> bool:
+        """System::MapChanged (System.cc:294-305)."""
+        idx = self.map.big_change_idx
+        changed = idx > getattr(self, "_last_big_change", 0)
+        self._last_big_change = idx
+        return changed
+
+    @property
+    def tracking_state(self) -> int:
+        return self.tracker.state
+
+    # ---------------------------------------------------------------- savers
+    def save_trajectory_tum(self, path: str):
+        """Frame trajectory in TUM format (SaveTrajectoryTUM,
+        System.cc:337-396)."""
+        ts = [t for t, _, _ in self.tracker.trajectory]
+        poses = [
+            se3_inv_np(R, t) for _, R, t in self.tracker.trajectory
+        ]
+        tum_io.save_trajectory_tum(path, ts, poses)
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        """SaveKeyFrameTrajectoryTUM (System.cc:398-441)."""
+        m = self.map
+        ts, poses = [], []
+        for k in range(m.n_kf):
+            if m.kf_valid[k]:
+                ts.append(m.kf_timestamp[k])
+                poses.append(se3_inv_np(m.kf_R[k], m.kf_t[k]))
+        tum_io.save_trajectory_tum(path, ts, poses)
+
+    def save_trajectory_kitti(self, path: str):
+        """SaveTrajectoryKITTI (System.cc:443-487)."""
+        poses = [se3_inv_np(R, t) for _, R, t in self.tracker.trajectory]
+        tum_io.save_trajectory_kitti(path, poses)
+
+    def save_pcd(self, path: str):
+        if self.cloud is not None:
+            self.cloud.save_pcd(path)
+
+
+def se3_inv_np(R: np.ndarray, t: np.ndarray):
+    """Tcw -> Twc as numpy (the savers emit camera-to-world)."""
+    Rwc = R.T
+    return Rwc, -Rwc @ t

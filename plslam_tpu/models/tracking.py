@@ -199,8 +199,21 @@ def _local_core(cfg, fd, lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd,
         lm_desc, fd.kp_desc, gate, TH_HIGH,
         nn_ratio=cfg.matcher.nn_ratio_tracking, dedupe=True,
     )
+    # combine fresh matches with motion-step bindings, then RE-DEDUPE: the
+    # fallback can route several duplicate landmarks onto one feature, and
+    # letting that through collapses the per-feature binding table (and with
+    # it observation accumulation / covisibility).
     pt_idx = jnp.where(m.ok, m.idx, lm_pre_feat)
     pt_ok = m.ok | pre_matched
+    comb_dist = jnp.where(m.ok, m.dist, 300)  # fresh matches win ties
+    comb = matching.dedupe_targets(
+        matching.MatchResult(
+            jnp.where(pt_ok, pt_idx, matching.INVALID),
+            jnp.where(pt_ok, comb_dist, matching.BIG), pt_ok,
+        ),
+        fd.kp_desc.shape[0],
+    )
+    pt_idx, pt_ok = comb.idx, comb.ok
 
     lproj = line_matching.project_lines(cam, R0, t0, lml_ep3d, lml_valid)
     ln_pre = lml_pre_feat >= 0
@@ -211,6 +224,15 @@ def _local_core(cfg, fd, lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd,
     )
     ln_idx = jnp.where(lm_res.ok, lm_res.idx, lml_pre_feat)
     ln_ok = lm_res.ok | ln_pre
+    lcomb = matching.dedupe_targets(
+        matching.MatchResult(
+            jnp.where(ln_ok, ln_idx, matching.INVALID),
+            jnp.where(ln_ok, jnp.where(lm_res.ok, lm_res.dist, 300),
+                      matching.BIG), ln_ok,
+        ),
+        fd.ln_desc.shape[0],
+    )
+    ln_idx, ln_ok = lcomb.idx, lcomb.ok
 
     obs = _assemble_pose_obs(cfg, fd, lm_p3d, lm_valid, pt_idx, pt_ok,
                              lml_ep3d, lml_valid, ln_idx, ln_ok)
@@ -404,6 +426,7 @@ class Tracker:
         self.ref_kf = -1
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
         self.n_lost_frames = 0
+        self.only_tracking = False   # localization-only mode (mbOnlyTracking)
         self.debug: dict = {}
         # device-resident state
         self._prev_fd: FrameData | None = None
@@ -691,6 +714,8 @@ class Tracker:
     # -------------------------------------------------------- keyframe logic
     def _need_new_keyframe(self, tracked_close, creatable_close, n_inliers):
         """NeedNewKeyFrame RGB-D branch (Tracking.cc:1423-1557)."""
+        if self.only_tracking:
+            return False
         cfg = self.cfg.tracking
         need_close = (tracked_close < 100) and (creatable_close > 70)
         min_obs = 2 if self.map.n_kf <= 2 else 3

@@ -31,7 +31,7 @@ def main():
     cam = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5)
     cfg = OrbConfig()
     descs = []
-    for seed in range(6):
+    for seed in range(10):
         scene = RoomScene(seed)
         for R, t in smooth_trajectory(8, amplitude=0.8):
             g, _ = scene.render(cam, R, t)
@@ -40,7 +40,7 @@ def main():
             descs.append(np.asarray(f.desc)[v])
     corpus = np.concatenate(descs)
     print(f"corpus: {corpus.shape[0]} descriptors")
-    voc = vocabulary.train_vocabulary(corpus, k=10, levels=3)
+    voc = vocabulary.train_vocabulary(corpus, k=10, levels=4)
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "plslam_tpu", "bow",
         "vocab_synth.npz",

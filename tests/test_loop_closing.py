@@ -1,0 +1,124 @@
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from plslam_tpu.bow.database import KeyFrameDatabase
+from plslam_tpu.bow.vocabulary import Vocabulary
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.geometry import se3
+from plslam_tpu.geometry.projection import Camera
+from plslam_tpu.models.local_mapping import LocalMapper
+from plslam_tpu.models.loop_closing import LoopCloser
+from plslam_tpu.models.map import SlamMap
+from plslam_tpu.models.tracking import Tracker
+from plslam_tpu.utils.synthetic import RoomScene
+
+VOC_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plslam_tpu", "bow", "vocab_synth.npz",
+)
+CAM = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
+
+
+def orbit_poses(n, radius=0.45):
+    """Camera orbiting the room center, yawing a full turn — returns to the
+    starting view at the end (a guaranteed loop)."""
+    poses = []
+    for i in range(n):
+        a = 2 * np.pi * i / (n - 30)  # completes the turn well before the
+                                      # end: a sustained revisit phase
+        c = np.array(
+            [radius * np.sin(a), 0.0, 1.25 + radius * np.cos(a)], np.float32
+        )
+        Rwc = np.asarray(se3.so3_exp(jnp.asarray([0.0, a, 0.0], jnp.float32)))
+        R = Rwc.T.astype(np.float32)
+        t = (-R @ c).astype(np.float32)
+        poses.append((R, t))
+    return poses
+
+
+def build_system(use_lines=False):
+    cfg = SlamConfig(camera=CAM, use_lines=use_lines)
+    voc = Vocabulary.load(VOC_PATH)
+    m = SlamMap(cfg)
+    kfdb = KeyFrameDatabase(voc, max_kf=cfg.capacity.max_keyframes)
+    lm = LocalMapper(cfg, m)
+    lc = LoopCloser(cfg, m, kfdb, voc, local_mapper=lm)
+    tr = Tracker(cfg, m, local_mapper=lm, loop_closer=lc, voc=voc, kfdb=kfdb)
+    lc.tracker = tr
+    return cfg, m, lm, lc, tr
+
+
+def inject_drift(m, tr, kf_cut, W_R, W_t):
+    """Displace the OLD map sector (keyframes < kf_cut and their landmarks)
+    by a world transform — emulating accumulated drift between the first
+    visit and the revisit, exactly the discontinuity loop closing exists to
+    heal. New-sector content and the tracker state stay untouched."""
+    for k in range(kf_cut):
+        if not m.kf_valid[k]:
+            continue
+        R, t = m.kf_R[k], m.kf_t[k]
+        m.set_kf_pose(k, R @ W_R, R @ W_t + t)
+    pids = m.point_ids()
+    sel = pids[m.pt_first_kf[pids] < kf_cut]
+    m.pt_pos[sel] = (m.pt_pos[sel] - W_t) @ W_R
+    lids = m.line_ids()
+    lsel = lids[m.ln_first_kf[lids] < kf_cut]
+    for i in (0, 1):
+        m.ln_ep[lsel, i] = (m.ln_ep[lsel, i] - W_t) @ W_R
+
+
+class TestLoopClosing:
+    def test_full_orbit_stays_connected(self):
+        """Without drift, revisiting is absorbed by fusion — tracking must
+        survive the whole orbit and keep the pose consistent."""
+        cfg, m, lm, lc, tr = build_system()
+        scene = RoomScene(3)
+        n = 150
+        poses = orbit_poses(n)
+        R0g, t0g = poses[0]
+        tracked = 0
+        for i, (R, t) in enumerate(poses):
+            g, d = scene.render(CAM, R, t)
+            if tr.process(g, d, i / 30.0) is not None:
+                tracked += 1
+        assert tracked > 0.95 * n, f"tracked {tracked}/{n}"
+        Re, te = tr.last_pose
+        Rg, tg = poses[-1]
+        Rrel = Rg @ R0g.T
+        trel = tg - Rrel @ t0g
+        err = np.linalg.norm(-Re.T @ te - (-Rrel.T @ trel))
+        assert err < 0.06, f"final pose err {err*100:.1f}cm"
+
+    def test_loop_detected_and_corrected_under_drift(self):
+        """Inject an ~8 cm / 2 deg world offset into the first-visited map
+        sector mid-run: fusion can no longer reconnect, so the loop pipeline
+        (BoW candidates → consistency → Kabsch RANSAC → correction +
+        essential graph) must fire and heal the discontinuity."""
+        cfg, m, lm, lc, tr = build_system()
+        scene = RoomScene(3)
+        n = 150
+        poses = orbit_poses(n)
+        R0g, t0g = poses[0]
+        drift_at = 90
+        W_R = np.asarray(
+            se3.so3_exp(jnp.asarray([0.0, 0.035, 0.0], jnp.float32))
+        ).astype(np.float32)
+        W_t = np.array([0.06, 0.0, -0.05], np.float32)
+        for i, (R, t) in enumerate(poses):
+            g, d = scene.render(CAM, R, t)
+            tr.process(g, d, i / 30.0)
+            if i == drift_at:
+                kf_cut = max(m.n_kf - 12, 1)
+                inject_drift(m, tr, kf_cut, W_R, W_t)
+                tr._refresh_local_map(tr.last_pt_ids, tr.last_ln_ids)
+        assert lc.n_loops_closed >= 1, "loop closure never fired"
+        # after correction, old and new sector must agree again: the final
+        # pose should match ground truth in the (unmoved) new-sector frame
+        Re, te = tr.last_pose
+        Rg, tg = poses[-1]
+        Rrel = Rg @ R0g.T
+        trel = tg - Rrel @ t0g
+        err = np.linalg.norm(-Re.T @ te - (-Rrel.T @ trel))
+        assert err < 0.12, f"final pose err {err*100:.1f}cm after loop"
