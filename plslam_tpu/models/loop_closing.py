@@ -160,12 +160,13 @@ class LoopCloser:
         p3d = np.zeros((C, 3), np.float32)
         desc = np.zeros((C, 32), np.uint8)
         mind = np.zeros(C, np.float32)
-        maxd = np.full(C, 1e9, np.float32)
+        maxd = np.ones(C, np.float32)
         valid = np.zeros(C, bool)
         k = min(len(pids), C)
         p3d[:k] = m.pt_pos[pids[:k]]
         desc[:k] = m.pt_desc[pids[:k]]
-        mind[:k] = 0.0
+        mind[:k] = m.pt_min_dist[pids[:k]]
+        maxd[:k] = m.pt_max_dist[pids[:k]]
         valid[:k] = True
         fidx, fok = fuse_step(
             self.cfg,

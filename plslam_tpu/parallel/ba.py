@@ -1,0 +1,214 @@
+"""Distributed bundle adjustment: landmark-block sharding + psum'd
+reduced camera system.
+
+The scaling story from BASELINE.json: partition map points (and their
+observations) into blocks across devices; every device Schur-eliminates its
+landmark blocks locally; the contributions to the reduced camera system
+S = U - sum_p A_p V_p^-1 A_p^T and rhs are ALL-REDUCED over the mesh's
+``obs`` axis (one psum riding ICI); the dense (6C, 6C) solve is replicated;
+landmark back-substitution happens shard-locally. The camera update is
+identical on every device by construction.
+
+This is the ``shard_map`` expression of the reference's LocalBundleAdjustment
+/ GlobalBundleAdjustemnt (/root/reference/src/Optimizer.cc:644-1063, :60-374)
+at multi-chip scale — the reference has no distributed analog (pthreads over
+shared memory only; SURVEY §2 concurrency row).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..geometry import se3
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+
+
+class ShardedBA(NamedTuple):
+    """Per-shard BA problem; leading axis = shard. Cameras replicated."""
+
+    cam_R: jax.Array      # (C, 3, 3) replicated
+    cam_t: jax.Array      # (C, 3)
+    cam_fixed: jax.Array  # (C,)
+    pt_xyz: jax.Array     # (S, Ps, 3) sharded points
+    pt_valid: jax.Array   # (S, Ps)
+    obs_cam: jax.Array    # (S, Os)
+    obs_pt: jax.Array     # (S, Os)  local point index within the shard
+    obs_uv: jax.Array     # (S, Os, 2)
+    obs_ur: jax.Array     # (S, Os)
+    obs_w: jax.Array      # (S, Os)
+    obs_valid: jax.Array  # (S, Os)
+
+
+def shard_problem(cam_R, cam_t, cam_fixed, pt_xyz, pt_valid,
+                  obs_cam, obs_pt, obs_uv, obs_ur, obs_w, obs_valid,
+                  n_shards: int) -> ShardedBA:
+    """Host-side partitioner: round-robin points to shards, obs follow their
+    point. Pads every shard to equal size (SPMD-friendly)."""
+    P_total = pt_xyz.shape[0]
+    owner = np.arange(P_total) % n_shards
+    local_idx = np.arange(P_total) // n_shards
+    Ps = -(-P_total // n_shards)
+    o_owner = owner[obs_pt]
+    Os = 0
+    per_shard_obs = []
+    for s in range(n_shards):
+        sel = np.nonzero((o_owner == s) & obs_valid)[0]
+        per_shard_obs.append(sel)
+        Os = max(Os, len(sel))
+    Os = max(Os, 1)
+
+    def pad(arr, n, shape=(), dtype=np.float32):
+        out = np.zeros((n,) + shape, dtype)
+        out[: len(arr)] = arr
+        return out
+
+    sp_xyz = np.zeros((n_shards, Ps, 3), np.float32)
+    sp_valid = np.zeros((n_shards, Ps), bool)
+    so_cam = np.zeros((n_shards, Os), np.int32)
+    so_pt = np.zeros((n_shards, Os), np.int32)
+    so_uv = np.zeros((n_shards, Os, 2), np.float32)
+    so_ur = np.full((n_shards, Os), -1.0, np.float32)
+    so_w = np.ones((n_shards, Os), np.float32)
+    so_valid = np.zeros((n_shards, Os), bool)
+    for s in range(n_shards):
+        pids = np.nonzero(owner == s)[0]
+        sp_xyz[s, : len(pids)] = pt_xyz[pids]
+        sp_valid[s, : len(pids)] = pt_valid[pids]
+        sel = per_shard_obs[s]
+        so_cam[s, : len(sel)] = obs_cam[sel]
+        so_pt[s, : len(sel)] = local_idx[obs_pt[sel]]
+        so_uv[s, : len(sel)] = obs_uv[sel]
+        so_ur[s, : len(sel)] = obs_ur[sel]
+        so_w[s, : len(sel)] = obs_w[sel]
+        so_valid[s, : len(sel)] = True
+    return ShardedBA(
+        jnp.asarray(cam_R), jnp.asarray(cam_t), jnp.asarray(cam_fixed),
+        jnp.asarray(sp_xyz), jnp.asarray(sp_valid),
+        jnp.asarray(so_cam), jnp.asarray(so_pt), jnp.asarray(so_uv),
+        jnp.asarray(so_ur), jnp.asarray(so_w), jnp.asarray(so_valid),
+    )
+
+
+def _point_residual(cam, R, t, X, uv, ur):
+    pc = R @ X + t
+    z = jnp.where(jnp.abs(pc[2]) > 1e-6, pc[2], 1e-6)
+    u = cam.fx * pc[0] / z + cam.cx
+    v = cam.fy * pc[1] / z + cam.cy
+    urp = u - cam.bf / z
+    return jnp.stack([u - uv[0], v - uv[1],
+                      jnp.where(ur >= 0, urp - ur, 0.0)])
+
+
+def distributed_gn_step(cam, prob: ShardedBA, mesh: Mesh, lam: float = 1e-4):
+    """One damped GN step of the sharded BA. Returns (cam_R, cam_t, pt_xyz)
+    with the same sharding as the input."""
+    C = prob.cam_R.shape[0]
+
+    def local_shard(cam_R, cam_t, cam_fixed, pt_xyz, pt_valid,
+                    obs_cam, obs_pt, obs_uv, obs_ur, obs_w, obs_valid):
+        # shapes inside shard_map: leading shard axis stripped
+        pt_xyz = pt_xyz[0]
+        pt_valid = pt_valid[0]
+        obs_cam = obs_cam[0]
+        obs_pt = obs_pt[0]
+        obs_uv = obs_uv[0]
+        obs_ur = obs_ur[0]
+        obs_w = obs_w[0]
+        obs_valid = obs_valid[0]
+        Ps = pt_xyz.shape[0]
+
+        def r_and_J(Rc, tc, X, uv, ur):
+            zero6 = jnp.zeros(6)
+            zero3 = jnp.zeros(3)
+
+            def f(xi, dx):
+                Rn, tn = se3.left_update(xi, Rc, tc)
+                return _point_residual(cam, Rn, tn, X + dx, uv, ur)
+
+            r = f(zero6, zero3)
+            Jc = jax.jacfwd(lambda xi: f(xi, zero3))(zero6)
+            Jp = jax.jacfwd(lambda dx: f(zero6, dx))(zero3)
+            return r, Jc, Jp
+
+        Ro = cam_R[obs_cam]
+        to = cam_t[obs_cam]
+        Xo = pt_xyz[obs_pt]
+        r, Jc, Jp = jax.vmap(r_and_J)(Ro, to, Xo, obs_uv, obs_ur)
+        w = obs_w * obs_valid
+        JcW = Jc * w[:, None, None]
+        JpW = Jp * w[:, None, None]
+
+        U = jnp.zeros((C, 6, 6)).at[obs_cam].add(
+            jnp.einsum("ori,orj->oij", JcW, Jc))
+        V = jnp.zeros((Ps, 3, 3)).at[obs_pt].add(
+            jnp.einsum("ori,orj->oij", JpW, Jp))
+        bc = jnp.zeros((C, 6)).at[obs_cam].add(
+            -jnp.einsum("ori,or->oi", JcW, r))
+        bp = jnp.zeros((Ps, 3)).at[obs_pt].add(
+            -jnp.einsum("ori,or->oi", JpW, r))
+        A = jnp.zeros((Ps, C, 6, 3)).at[obs_pt, obs_cam].add(
+            jnp.einsum("ori,orj->oij", JcW, Jp))
+
+        Vd = V + lam * jax.vmap(jnp.diag)(
+            jnp.diagonal(V, axis1=1, axis2=2)) + 1e-6 * jnp.eye(3)
+        Vinv = jnp.linalg.inv(Vd)
+        AV = jnp.einsum("pcij,pjk->pcik", A, Vinv)
+        S_local = -jnp.einsum("pcik,pdlk->cdil", AV, A)
+        bt_local = bc - jnp.einsum("pcik,pk->ci", AV, bp)
+        U_local = U
+
+        # === THE collective: reduce the camera system over landmark shards
+        S = jax.lax.psum(S_local, "obs")
+        bt = jax.lax.psum(bt_local, "obs")
+        U_all = jax.lax.psum(U_local, "obs")
+
+        Ud = U_all + lam * jax.vmap(jnp.diag)(
+            jnp.diagonal(U_all, axis1=1, axis2=2))
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Ud)
+        free = ~cam_fixed
+        mc = free.astype(jnp.float32)
+        S = S * mc[:, None, None, None] * mc[None, :, None, None]
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            jnp.eye(6)[None] * (1.0 - mc)[:, None, None])
+        bt = bt * mc[:, None]
+        Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+        xi = jnp.linalg.solve(Sd + 1e-8 * jnp.eye(6 * C),
+                              bt.reshape(-1)).reshape(C, 6)
+
+        # local landmark back-substitution
+        rhs_p = bp - jnp.einsum("pcik,ci->pk", A, xi)
+        dX = jnp.einsum("pij,pj->pi", Vinv, rhs_p)
+        has_obs = jnp.diagonal(V, axis1=1, axis2=2).sum(-1) > 1e-9
+        Xn = jnp.where((pt_valid & has_obs)[:, None], pt_xyz + dX, pt_xyz)
+
+        Rn, tn = jax.vmap(se3.left_update)(xi, cam_R, cam_t)
+        Rn = jax.vmap(se3.orthonormalize)(Rn)
+        keep = cam_fixed[:, None]
+        tn = jnp.where(keep, cam_t, tn)
+        Rn = jnp.where(keep[:, :, None], cam_R, Rn)
+        return Rn, tn, Xn[None]
+
+    spec_rep = P()
+    spec_sh = P("obs")
+    fn = jax.shard_map(
+        local_shard, mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_rep,
+                  spec_sh, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
+                  spec_sh, spec_sh),
+        out_specs=(spec_rep, spec_rep, spec_sh),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        prob.cam_R, prob.cam_t, prob.cam_fixed,
+        prob.pt_xyz, prob.pt_valid,
+        prob.obs_cam, prob.obs_pt, prob.obs_uv, prob.obs_ur, prob.obs_w,
+        prob.obs_valid,
+    )

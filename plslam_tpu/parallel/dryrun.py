@@ -100,3 +100,38 @@ def run(n_devices: int) -> None:
     Rn, tn, g = jax.jit(step)(*args)
     jax.block_until_ready((Rn, tn, g))
     assert Rn.shape == (B, 3, 3) and tn.shape == (B, 3)
+
+    # ---- phase 2: the real distributed Schur BA over a 1-D landmark mesh
+    from jax.sharding import Mesh as _Mesh
+
+    from ..geometry.projection import Camera
+    from . import ba as pba
+
+    cam = Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0)
+    n_pts = n_devices * 8
+    n_cams = 3
+    pts = rng.uniform(-1, 1, (n_pts, 3)).astype(np.float32) + [0, 0, 3.0]
+    cam_R = np.broadcast_to(np.eye(3, dtype=np.float32), (n_cams, 3, 3)).copy()
+    cam_t = np.zeros((n_cams, 3), np.float32)
+    cam_t[:, 0] = 0.05 * np.arange(n_cams)
+    obs_cam = np.repeat(np.arange(n_cams), n_pts).astype(np.int32)
+    obs_pt = np.tile(np.arange(n_pts), n_cams).astype(np.int32)
+    pc = pts[obs_pt] @ np.swapaxes(cam_R[obs_cam], 1, 2)
+    pc = np.einsum("oij,oj->oi", cam_R[obs_cam], pts[obs_pt]) + cam_t[obs_cam]
+    obs_uv = np.stack(
+        [500 * pc[:, 0] / pc[:, 2] + 320, 500 * pc[:, 1] / pc[:, 2] + 240], -1
+    ).astype(np.float32)
+    fixed = np.zeros(n_cams, bool)
+    fixed[0] = True
+    prob = pba.shard_problem(
+        cam_R, cam_t, fixed, pts, np.ones(n_pts, bool),
+        obs_cam, obs_pt, obs_uv,
+        np.full(len(obs_cam), -1.0, np.float32),
+        np.ones(len(obs_cam), np.float32),
+        np.ones(len(obs_cam), bool),
+        n_shards=n_devices,
+    )
+    ba_mesh = _Mesh(np.array(jax.devices()[:n_devices]).reshape(-1), ("obs",))
+    Rb, tb, Xb = pba.distributed_gn_step(cam, prob, ba_mesh)
+    jax.block_until_ready((Rb, tb, Xb))
+    assert Rb.shape == (n_cams, 3, 3)

@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from plslam_tpu.geometry import se3
+from plslam_tpu.geometry.projection import Camera, project
+from plslam_tpu.parallel import ba as pba
+from plslam_tpu.parallel.mesh import make_mesh
+
+CAM = Camera(fx=500.0, fy=500.0, cx=320.0, cy=240.0, bf=40.0)
+
+
+def small_problem(rng, n_cams=6, n_pts=200):
+    poses = []
+    for i in range(n_cams):
+        ang = 0.08 * (i - n_cams / 2)
+        Rwc = np.asarray(se3.so3_exp(jnp.asarray([0.0, ang, 0.0], jnp.float32)))
+        c = np.array([np.sin(ang), 0.05 * i, -0.3 * np.cos(ang)], np.float32)
+        R = Rwc.T
+        poses.append((R, (-R @ c).astype(np.float32)))
+    pts = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], (n_pts, 3)).astype(np.float32)
+    obs_cam, obs_pt, obs_uv, obs_ur, obs_w, obs_val = [], [], [], [], [], []
+    for ci, (R, t) in enumerate(poses):
+        pc = pts @ R.T + t
+        uv = np.array(project(CAM, jnp.asarray(pc)))
+        uv += rng.normal(0, 0.3, uv.shape)
+        for pi in range(n_pts):
+            obs_cam.append(ci)
+            obs_pt.append(pi)
+            obs_uv.append(uv[pi])
+            obs_ur.append(-1.0)
+            obs_w.append(1.0)
+            obs_val.append(bool(pc[pi, 2] > 0.3))
+    cam_R = np.stack([p[0] for p in poses])
+    cam_t = np.stack([p[1] for p in poses])
+    # perturb all but cam0
+    for i in range(1, n_cams):
+        xi = rng.standard_normal(6).astype(np.float32) * 0.01
+        Rn, tn = se3.left_update(jnp.asarray(xi), jnp.asarray(cam_R[i]),
+                                 jnp.asarray(cam_t[i]))
+        cam_R[i], cam_t[i] = np.asarray(Rn), np.asarray(tn)
+    fixed = np.zeros(n_cams, bool)
+    fixed[0] = True
+    pts0 = pts + rng.normal(0, 0.01, pts.shape).astype(np.float32)
+    return (cam_R, cam_t, fixed, pts0, np.ones(n_pts, bool),
+            np.array(obs_cam), np.array(obs_pt), np.array(obs_uv, np.float32),
+            np.array(obs_ur, np.float32), np.array(obs_w, np.float32),
+            np.array(obs_val)), poses, pts
+
+
+class TestDistributedBA:
+    def test_sharded_matches_single(self):
+        """The psum-reduced camera system must give the SAME update as the
+        single-shard computation (exactness of the Schur decomposition over
+        landmark blocks)."""
+        rng = np.random.default_rng(0)
+        args, poses, pts_gt = small_problem(rng)
+
+        mesh1 = Mesh(np.array(jax.devices()[:1]).reshape(1), ("obs",))
+        prob1 = pba.shard_problem(*args, n_shards=1)
+        R1, t1, X1 = pba.distributed_gn_step(CAM, prob1, mesh1)
+
+        n_dev = min(4, len(jax.devices()))
+        mesh4 = Mesh(np.array(jax.devices()[:n_dev]).reshape(n_dev), ("obs",))
+        prob4 = pba.shard_problem(*args, n_shards=n_dev)
+        R4, t4, X4 = pba.distributed_gn_step(CAM, prob4, mesh4)
+
+        np.testing.assert_allclose(np.asarray(R1), np.asarray(R4), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(t1), np.asarray(t4), atol=2e-3)
+
+    def test_step_reduces_error(self):
+        rng = np.random.default_rng(1)
+        args, poses, pts_gt = small_problem(rng)
+        n_dev = min(4, len(jax.devices()))
+        mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(n_dev), ("obs",))
+        prob = pba.shard_problem(*args, n_shards=n_dev)
+
+        def cam_err(cam_R, cam_t):
+            errs = []
+            for i, (R, t) in enumerate(poses):
+                errs.append(np.linalg.norm(
+                    -np.asarray(cam_R[i]).T @ np.asarray(cam_t[i]) - (-R.T @ t)
+                ))
+            return np.mean(errs)
+
+        e0 = cam_err(prob.cam_R, prob.cam_t)
+        Rn, tn, Xn = pba.distributed_gn_step(CAM, prob, mesh)
+        for _ in range(3):
+            prob = prob._replace(cam_R=Rn, cam_t=tn, pt_xyz=Xn)
+            Rn, tn, Xn = pba.distributed_gn_step(CAM, prob, mesh)
+        e1 = cam_err(Rn, tn)
+        assert e1 < 0.3 * e0, f"{e0} -> {e1}"
