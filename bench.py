@@ -31,15 +31,19 @@ def main():
     cfg = SlamConfig(
         camera=Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
     )
-    n_frames = int(os.environ.get("BENCH_FRAMES", "40"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
     scene = RoomScene(0)
     poses = smooth_trajectory(2 * n_frames)[:n_frames]
     frames = [scene.render(cfg.camera, R, t) for R, t in poses]
 
     m = SlamMap(cfg)
-    tracker = Tracker(cfg, m, local_mapper=LocalMapper(cfg, m))
+    # async mapping mirrors the reference's thread split: rgbd_my measures
+    # per-frame tracking time while LocalMapping runs on its own thread
+    from plslam_tpu.models.async_mapping import AsyncLocalMapper
 
-    warmup = min(6, n_frames // 4)
+    tracker = Tracker(cfg, m, local_mapper=AsyncLocalMapper(LocalMapper(cfg, m)))
+
+    warmup = min(20, n_frames // 3)
     for i in range(warmup):
         tracker.process(frames[i][0], frames[i][1], i / 30.0)
 

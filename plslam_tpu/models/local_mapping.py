@@ -239,15 +239,20 @@ class LocalMapper:
         own_pids = own_pids[m.pt_valid[own_pids]][: 2048]
         if len(own_pids) == 0 or not ext:
             return
-        targets = ext[:10]
+        # pad the target batch to a FIXED size: a varying keyframe count
+        # would retrace/recompile the vmapped kernel per distinct K
+        K_FIX = 10
+        targets = ext[:K_FIX]
         K = len(targets)
         n_kp = self.cfg.orb.max_keypoints
-        kxy = np.stack([m.kf_frames[o].kp_xy_un for o in targets])
-        koct = np.stack([m.kf_frames[o].kp_octave for o in targets])
-        kdesc = np.stack([m.kf_frames[o].kp_desc for o in targets])
-        kval = np.stack([m.kf_frames[o].kp_valid for o in targets])
-        Rs = np.stack([m.kf_R[o] for o in targets])
-        ts = np.stack([m.kf_t[o] for o in targets])
+        pad_t = targets + [targets[-1]] * (K_FIX - K)
+        kxy = np.stack([m.kf_frames[o].kp_xy_un for o in pad_t])
+        koct = np.stack([m.kf_frames[o].kp_octave for o in pad_t])
+        kdesc = np.stack([m.kf_frames[o].kp_desc for o in pad_t])
+        kval = np.stack([m.kf_frames[o].kp_valid for o in pad_t])
+        kval[K:] = False
+        Rs = np.stack([m.kf_R[o] for o in pad_t])
+        ts = np.stack([m.kf_t[o] for o in pad_t])
         C2 = 2048
         p3d2 = np.zeros((C2, 3), np.float32)
         desc2 = np.zeros((C2, 32), np.uint8)

@@ -37,7 +37,8 @@ class System:
     def __init__(self, cfg: SlamConfig, vocabulary_path: str | None = None,
                  enable_loop_closing: bool = True,
                  enable_dense_cloud: bool = False,
-                 localization_only: bool = False):
+                 localization_only: bool = False,
+                 async_mapping: bool = False):
         self.cfg = cfg
         vocab_path = vocabulary_path or _DEFAULT_VOCAB
         if vocab_path.endswith(".txt"):
@@ -51,6 +52,10 @@ class System:
         self.kfdb = KeyFrameDatabase(self.voc, cfg.capacity.max_keyframes)
         self.local_mapper = LocalMapper(cfg, self.map,
                                         enable_ba=not localization_only)
+        if async_mapping:
+            from .async_mapping import AsyncLocalMapper
+
+            self.local_mapper = AsyncLocalMapper(self.local_mapper)
         self.loop_closer = (
             LoopCloser(cfg, self.map, self.kfdb, self.voc, self.local_mapper)
             if enable_loop_closing else None
@@ -92,8 +97,12 @@ class System:
         self.tracker.reset()
 
     def shutdown(self):
-        """Nothing to join — passes are synchronous; kept for API parity
+        """Drain and join the async mapping worker when enabled
         (System::Shutdown, System.cc:313-335)."""
+        lm = self.local_mapper
+        if hasattr(lm, "wait_idle"):
+            lm.wait_idle(timeout=30.0)
+            lm.shutdown()
 
     def map_changed(self) -> bool:
         """System::MapChanged (System.cc:294-305)."""

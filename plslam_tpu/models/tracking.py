@@ -25,6 +25,7 @@ landmark creation, line creation from endpoint depths.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from dataclasses import dataclass
 from typing import NamedTuple
@@ -419,6 +420,10 @@ class Tracker:
         self.loop_closer = loop_closer
         self.voc = voc
         self.kfdb = kfdb
+        # map-update lock (Map::mMutexMapUpdate equivalent) when the local
+        # mapper runs on a worker thread; no-op otherwise
+        self._map_lock = getattr(local_mapper, "lock", None) or \
+            contextlib.nullcontext()
         self.state = NOT_INITIALIZED
         self.frame_id = -1
         self.last_kf_id = -1
@@ -594,6 +599,7 @@ class Tracker:
         self._has_vel = jnp.asarray(True)
 
         # host bookkeeping
+        self._map_lock.__enter__()
         k = len(self._lp_ids)
         lm_inlier = lm_inlier.copy()
         lm_inlier[k:] = False
@@ -620,8 +626,12 @@ class Tracker:
         self.last_ln_ids = cur_ln_ids
         self.trajectory.append((timestamp, R.copy(), t.copy()))
 
-        if self._need_new_keyframe(int(tc), int(cc), n_in):
-            self._create_new_keyframe(R, t, cur_pt_ids, cur_ln_ids, timestamp)
+        need = self._need_new_keyframe(int(tc), int(cc), n_in)
+        self._map_lock.__exit__(None, None, None)
+        if need:
+            with self._map_lock:
+                self._create_new_keyframe(R, t, cur_pt_ids, cur_ln_ids,
+                                          timestamp)
         return True
 
     # --------------------------------------------------- local map handling
