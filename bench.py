@@ -53,6 +53,7 @@ def main():
         out = tracker.process(frames[i][0], frames[i][1], i / 30.0)
         if out is not None:
             tracked += 1
+    tracker.flush()  # drain the pipelined (lag-1) in-flight frame
     dt = time.perf_counter() - t0
     fps = (n_frames - warmup) / dt
 

@@ -64,6 +64,15 @@ def _sample_depth(depth: jax.Array, xy: jax.Array) -> jax.Array:
 def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig) -> FrameData:
     cam = cfg.camera
     hw = (cam.height, cam.width)
+    # Compact wire formats: the networked-TPU transport falls off a cliff for
+    # >1 MB host->device copies, so callers ship gray as uint8 and depth as
+    # TUM-quantized uint16 (metres * depth_map_factor); both convert here.
+    if gray.dtype == jnp.uint8:
+        gray = gray.astype(jnp.float32)
+    if depth.dtype == jnp.uint16:
+        depth = depth.astype(jnp.float32) * jnp.float32(
+            1.0 / cfg.tracking.depth_map_factor
+        )
     feats = orb.extract_orb(gray, cfg.orb, hw)
     xy_un = projection.undistort_points(cam, feats.xy)
     d = _sample_depth(depth, feats.xy)

@@ -97,8 +97,9 @@ class System:
         self.tracker.reset()
 
     def shutdown(self):
-        """Drain and join the async mapping worker when enabled
+        """Drain the tracking pipeline and join the async mapping worker
         (System::Shutdown, System.cc:313-335)."""
+        self.tracker.flush()
         lm = self.local_mapper
         if hasattr(lm, "wait_idle"):
             lm.wait_idle(timeout=30.0)
@@ -119,6 +120,7 @@ class System:
     def save_trajectory_tum(self, path: str):
         """Frame trajectory in TUM format (SaveTrajectoryTUM,
         System.cc:337-396)."""
+        self.tracker.flush()
         ts = [t for t, _, _ in self.tracker.trajectory]
         poses = [
             se3_inv_np(R, t) for _, R, t in self.tracker.trajectory
@@ -137,6 +139,7 @@ class System:
 
     def save_trajectory_kitti(self, path: str):
         """SaveTrajectoryKITTI (System.cc:443-487)."""
+        self.tracker.flush()
         poses = [se3_inv_np(R, t) for _, R, t in self.tracker.trajectory]
         tum_io.save_trajectory_kitti(path, poses)
 

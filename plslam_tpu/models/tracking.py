@@ -286,6 +286,10 @@ def fused_track_step(
     prev: FrameData,
     prev_slot_pt: jax.Array,  # (N,) lm slot per prev feature or -1
     prev_slot_ln: jax.Array,  # (NL,)
+    pt_remap: jax.Array,      # (LM,) old-slot -> current-slot (identity when
+    ln_remap: jax.Array,      # (LL,)  the local map didn't change) — lets the
+                              # pipelined tracker refresh the local map while
+                              # a frame is in flight without a host rebind
     R_prev: jax.Array,
     t_prev: jax.Array,
     R_vel: jax.Array,
@@ -297,6 +301,12 @@ def fused_track_step(
     cam = cfg.camera
     LM = lm_p3d.shape[0]
     LL = lml_ep3d.shape[0]
+    prev_slot_pt = jnp.where(
+        prev_slot_pt >= 0, pt_remap[jnp.clip(prev_slot_pt, 0, LM - 1)], -1
+    )
+    prev_slot_ln = jnp.where(
+        prev_slot_ln >= 0, ln_remap[jnp.clip(prev_slot_ln, 0, LL - 1)], -1
+    )
 
     fd = mframe.build_frame(gray, depth, cfg)
 
@@ -450,11 +460,26 @@ class Tracker:
         self.last_pose: tuple[np.ndarray, np.ndarray] | None = None
         self.last_pt_ids: np.ndarray | None = None
         self.last_ln_ids: np.ndarray | None = None
+        # --- pipelining (lag-1): the fused step for frame k is dispatched
+        # before frame k-1's results are fetched, so the ~25 ms synchronous
+        # round trip of the networked TPU overlaps frame k's device compute.
+        # ``_pending`` holds the in-flight frame's handles; slot remaps
+        # reconcile a local-map refresh with the already-dispatched frame.
+        self._pending: dict | None = None
+        self._id_pt = jnp.arange(self.LM_CAP, dtype=jnp.int32)
+        self._id_ln = jnp.arange(self.LL_CAP, dtype=jnp.int32)
+        self._pt_remap = self._id_pt
+        self._ln_remap = self._id_ln
 
     # ------------------------------------------------------------------ API
     def process(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
-        """Track one RGB-D frame. Returns (R, t) world-to-camera or None."""
+        """Track one RGB-D frame.
+
+        Pipelined lag-1: returns the PREVIOUS frame's (R, t) world-to-camera
+        (or None). Call :meth:`flush` to drain the last in-flight frame.
+        """
         self.frame_id += 1
+        gray, depth = self._quantize_inputs(gray, depth)
         gray = jnp.asarray(gray)
         depth = jnp.asarray(depth)
         if self.state == NOT_INITIALIZED:
@@ -473,17 +498,80 @@ class Tracker:
                 self.reset()
             self.n_lost_frames += 1
             return None
-        ok = self._track(gray, depth, timestamp)
-        if not ok:
-            self.n_lost_frames += 1
-            self.state = LOST
-            # immediately try to relocalize on this same frame
-            if self._try_relocalize(timestamp):
-                return self.last_pose
-        else:
-            self.state = OK
-            self.n_lost_frames = 0
-        return self.last_pose
+        # OK: dispatch this frame, then retire the previous one — the fetch
+        # round trip rides on top of this frame's device compute
+        out = self._dispatch(gray, depth)
+        result = None
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            ok = self._finish(pending)
+            if ok:
+                result = self.last_pose
+                self.n_lost_frames = 0
+            else:
+                # previous frame failed: the dispatch above used its bad
+                # pose — discard it, keep its perception for relocalization
+                self.n_lost_frames += 1
+                self.state = LOST
+                self._prev_slot_pt = jnp.full_like(self._prev_slot_pt, -1)
+                self._prev_slot_ln = jnp.full_like(self._prev_slot_ln, -1)
+                self._has_vel = jnp.asarray(False)
+                if self._try_relocalize(timestamp):
+                    return self.last_pose
+                return None
+        self._pending = dict(
+            out=out, timestamp=timestamp, frame_id=self.frame_id,
+            lp_ids=self._lp_ids, ll_ids=self._ll_ids,
+        )
+        return result
+
+    def flush(self):
+        """Drain the in-flight frame (call before reading the trajectory)."""
+        if self._pending is not None:
+            pending, self._pending = self._pending, None
+            if self._finish(pending):
+                self.n_lost_frames = 0
+            else:
+                self.state = LOST
+                self.n_lost_frames += 1
+
+    def _dispatch(self, gray, depth) -> FusedOut:
+        """Dispatch the fused step and optimistically advance device state."""
+        out = fused_track_step(
+            self.cfg, gray, depth, self._prev_fd,
+            self._prev_slot_pt, self._prev_slot_ln,
+            self._pt_remap, self._ln_remap,
+            self._R, self._t, self._R_vel, self._t_vel, self._has_vel,
+            *self._lm_args,
+        )
+        self._pt_remap = self._id_pt
+        self._ln_remap = self._id_ln
+        # start the host copies now; they complete during this frame's compute
+        for a in (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
+                  out.lml_feat, out.lml_inlier, out.n_motion_matches,
+                  out.n_motion_inliers, out.n_local_inliers,
+                  out.tracked_close, out.creatable_close):
+            a.copy_to_host_async()
+        self._prev_fd = out.fd
+        self._prev_slot_pt = out.feat_slot_pt
+        self._prev_slot_ln = out.feat_slot_ln
+        self._R = out.R
+        self._t = out.t
+        self._R_vel = out.R_vel
+        self._t_vel = out.t_vel
+        self._has_vel = jnp.asarray(True)
+        return out
+
+    def _quantize_inputs(self, gray, depth):
+        """Pack images into <1 MB wire dtypes (uint8 gray, uint16 depth in
+        TUM depth_map_factor units) — the tunneled-TPU transport's slow path
+        for >1 MB copies costs ~47 ms per float32 VGA image otherwise."""
+        if isinstance(gray, np.ndarray) and gray.dtype != np.uint8:
+            gray = np.clip(gray, 0, 255).astype(np.uint8)
+        if isinstance(depth, np.ndarray) and depth.dtype != np.uint16:
+            f = self.cfg.tracking.depth_map_factor
+            depth = np.clip(depth * f, 0, 65535).astype(np.uint16)
+        return gray, depth
 
     def _try_relocalize(self, timestamp: float) -> bool:
         """Relocalization against the keyframe database (Tracking.cc:2049)."""
@@ -558,15 +646,15 @@ class Tracker:
         return True
 
     # ------------------------------------------------------------- tracking
-    def _track(self, gray, depth, timestamp: float) -> bool:
+    def _finish(self, pending: dict) -> bool:
+        """Fetch and retire a dispatched frame (bookkeeping + KF decision)."""
         cfg = self.cfg
-        out = fused_track_step(
-            cfg, gray, depth, self._prev_fd,
-            self._prev_slot_pt, self._prev_slot_ln,
-            self._R, self._t, self._R_vel, self._t_vel, self._has_vel,
-            *self._lm_args,
-        )
-        # ONE bundled download per frame
+        out: FusedOut = pending["out"]
+        timestamp = pending["timestamp"]
+        frame_id = pending["frame_id"]
+        lp_ids = pending["lp_ids"]
+        ll_ids = pending["ll_ids"]
+        # the async copies were started at dispatch; this get is ~free
         (R, t, lm_feat, lm_inlier, lm_vis, lml_feat, lml_inlier,
          n_mm, n_mi, n_li, tc, cc) = jax.device_get(
             (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
@@ -576,70 +664,66 @@ class Tracker:
         )
         self.debug = {
             "motion_matches": int(n_mm), "motion_inliers": int(n_mi),
-            "local_inliers": int(n_li), "local_points": len(self._lp_ids),
+            "local_inliers": int(n_li), "local_points": len(lp_ids),
         }
         n_in = int(n_li)
         if int(n_mi) < 10 or n_in < cfg.tracking.min_inliers_local_map:
-            # keep device frame state for a retry, but do not advance pose;
-            # bindings referred to the old frame -> clear them
-            self._prev_fd = out.fd
-            self._prev_slot_pt = jnp.full_like(self._prev_slot_pt, -1)
-            self._prev_slot_ln = jnp.full_like(self._prev_slot_ln, -1)
-            self._has_vel = jnp.asarray(False)
             return False
 
-        # advance device state
-        self._prev_fd = out.fd
-        self._prev_slot_pt = out.feat_slot_pt
-        self._prev_slot_ln = out.feat_slot_ln
-        self._R = out.R
-        self._t = out.t
-        self._R_vel = out.R_vel
-        self._t_vel = out.t_vel
-        self._has_vel = jnp.asarray(True)
-
-        # host bookkeeping
+        # host bookkeeping (ids resolved against the DISPATCH-time snapshot:
+        # a KF refresh may have rewritten self._lp_ids since)
         self._map_lock.__enter__()
-        k = len(self._lp_ids)
+        k = len(lp_ids)
         lm_inlier = lm_inlier.copy()
         lm_inlier[k:] = False
         vis = lm_vis.copy()
         vis[k:] = False
-        self.map.pt_visible[self._lp_ids[vis[:k]]] += 1
-        self.map.pt_found[self._lp_ids[lm_inlier[:k]]] += 1
+        self.map.pt_visible[lp_ids[vis[:k]]] += 1
+        self.map.pt_found[lp_ids[lm_inlier[:k]]] += 1
         n = self.cfg.orb.max_keypoints
         cur_pt_ids = np.full(n, -1, np.int32)
         sel = np.nonzero(lm_inlier[:k])[0]
-        cur_pt_ids[lm_feat[sel]] = self._lp_ids[sel]
-        kl = len(self._ll_ids)
+        cur_pt_ids[lm_feat[sel]] = lp_ids[sel]
+        kl = len(ll_ids)
         lml_inlier = lml_inlier.copy()
         lml_inlier[kl:] = False
         nl = self.cfg.lines.max_lines
         cur_ln_ids = np.full(nl, -1, np.int32)
         lsel = np.nonzero(lml_inlier[:kl])[0]
-        cur_ln_ids[lml_feat[lsel]] = self._ll_ids[lsel]
-        self.map.ln_visible[self._ll_ids[lsel]] += 1
-        self.map.ln_found[self._ll_ids[lsel]] += 1
+        cur_ln_ids[lml_feat[lsel]] = ll_ids[lsel]
+        self.map.ln_visible[ll_ids[lsel]] += 1
+        self.map.ln_found[ll_ids[lsel]] += 1
 
         self.last_pose = (R, t)
         self.last_pt_ids = cur_pt_ids
         self.last_ln_ids = cur_ln_ids
         self.trajectory.append((timestamp, R.copy(), t.copy()))
 
-        need = self._need_new_keyframe(int(tc), int(cc), n_in)
+        need = self._need_new_keyframe(int(tc), int(cc), n_in,
+                                       frame_id=frame_id)
         self._map_lock.__exit__(None, None, None)
         if need:
             with self._map_lock:
-                self._create_new_keyframe(R, t, cur_pt_ids, cur_ln_ids,
-                                          timestamp)
+                self._create_new_keyframe(out.fd, R, t, cur_pt_ids,
+                                          cur_ln_ids, timestamp,
+                                          frame_id=frame_id)
         return True
 
     # --------------------------------------------------- local map handling
-    def _refresh_local_map(self, cur_pt_ids, cur_ln_ids):
+    def _refresh_local_map(self, cur_pt_ids, cur_ln_ids, rebind: bool = True):
         """Harvest the covisibility-local map and upload device arrays
         (UpdateLocalKeyFrames/Points/Lines, Tracking.cc:1867-2035). Called
         at keyframe events — between keyframes the set barely changes and
-        re-uploading every frame would cost a round trip."""
+        re-uploading every frame would cost a round trip.
+
+        ``rebind=True`` (sync paths: init, relocalization) rewrites the
+        device feature→slot tables from ``cur_*_ids``. ``rebind=False``
+        (pipelined KF events) instead uploads old-slot→new-slot remap
+        vectors: the in-flight frame was dispatched against the OLD slot
+        space and its device-resident slot tables are reconciled inside the
+        next fused step."""
+        old_lp = self._lp_ids
+        old_ll = self._ll_ids
         lkfs = self._local_keyframes(cur_pt_ids)
         lp_ids, ll_ids = self._local_landmarks(lkfs)
         self._lp_ids = lp_ids
@@ -670,23 +754,40 @@ class Tracker:
             jnp.asarray(a)
             for a in (p3d, desc, normal, mind, maxd, valid, lep, ldesc, lvalid)
         )
-        # bindings: per current-frame feature -> slot
         slot_of_pid = {int(p): i for i, p in enumerate(lp_ids)}
-        fs = np.full(self.cfg.orb.max_keypoints, -1, np.int32)
-        for feat, pid in enumerate(cur_pt_ids):
-            if pid >= 0:
+        slot_of_lid = {int(l): i for i, l in enumerate(ll_ids)}
+        if rebind:
+            # bindings: per current-frame feature -> slot
+            fs = np.full(self.cfg.orb.max_keypoints, -1, np.int32)
+            for feat, pid in enumerate(cur_pt_ids):
+                if pid >= 0:
+                    s = slot_of_pid.get(int(pid))
+                    if s is not None:
+                        fs[feat] = s
+            fsl = np.full(self.cfg.lines.max_lines, -1, np.int32)
+            for feat, lid in enumerate(cur_ln_ids):
+                if lid >= 0:
+                    s = slot_of_lid.get(int(lid))
+                    if s is not None:
+                        fsl[feat] = s
+            self._prev_slot_pt = jnp.asarray(fs)
+            self._prev_slot_ln = jnp.asarray(fsl)
+            self._pt_remap = self._id_pt
+            self._ln_remap = self._id_ln
+        else:
+            # old-slot -> new-slot remaps for the in-flight frame
+            rm = np.full(self.LM_CAP, -1, np.int32)
+            for i, pid in enumerate(old_lp):
                 s = slot_of_pid.get(int(pid))
                 if s is not None:
-                    fs[feat] = s
-        slot_of_lid = {int(l): i for i, l in enumerate(ll_ids)}
-        fsl = np.full(self.cfg.lines.max_lines, -1, np.int32)
-        for feat, lid in enumerate(cur_ln_ids):
-            if lid >= 0:
+                    rm[i] = s
+            rml = np.full(self.LL_CAP, -1, np.int32)
+            for i, lid in enumerate(old_ll):
                 s = slot_of_lid.get(int(lid))
                 if s is not None:
-                    fsl[feat] = s
-        self._prev_slot_pt = jnp.asarray(fs)
-        self._prev_slot_ln = jnp.asarray(fsl)
+                    rml[i] = s
+            self._pt_remap = jnp.asarray(rm)
+            self._ln_remap = jnp.asarray(rml)
 
     def _local_keyframes(self, cur_pt_ids: np.ndarray) -> list[int]:
         """KFs observing current points + covisible neighbors (cap 80)."""
@@ -722,10 +823,13 @@ class Tracker:
                 lns[: self.LL_CAP].astype(np.int32))
 
     # -------------------------------------------------------- keyframe logic
-    def _need_new_keyframe(self, tracked_close, creatable_close, n_inliers):
+    def _need_new_keyframe(self, tracked_close, creatable_close, n_inliers,
+                           frame_id: int | None = None):
         """NeedNewKeyFrame RGB-D branch (Tracking.cc:1423-1557)."""
         if self.only_tracking:
             return False
+        if frame_id is None:
+            frame_id = self.frame_id
         cfg = self.cfg.tracking
         need_close = (tracked_close < 100) and (creatable_close > 70)
         min_obs = 2 if self.map.n_kf <= 2 else 3
@@ -735,16 +839,19 @@ class Tracker:
             pids = pids[pids >= 0]
             cnt = sum(1 for p in pids if len(self.map.pt_obs[p]) >= min_obs)
             ref_tracked = max(cnt if cnt > 0 else len(pids), 1)
-        c1a = self.frame_id >= self.last_kf_id + cfg.max_frames_between_kf
-        c1b = self.frame_id >= self.last_kf_id + max(cfg.min_frames_between_kf, 1)
+        c1a = frame_id >= self.last_kf_id + cfg.max_frames_between_kf
+        c1b = frame_id >= self.last_kf_id + max(cfg.min_frames_between_kf, 1)
         c1c = (n_inliers < ref_tracked * 0.25) or need_close
         c2 = ((n_inliers < ref_tracked * 0.75) or need_close) and n_inliers > 15
         return bool((c1a or c1b or c1c) and c2)
 
-    def _create_new_keyframe(self, R, t, cur_pt_ids, cur_ln_ids, ts):
+    def _create_new_keyframe(self, fd: FrameData, R, t, cur_pt_ids,
+                             cur_ln_ids, ts, frame_id: int | None = None):
         """CreateNewKeyFrame (Tracking.cc:1567-1744)."""
-        host = HostFrame(jax.device_get(self._prev_fd))  # current frame
-        kf = self.map.add_keyframe(host, R, t, self.frame_id, ts)
+        if frame_id is None:
+            frame_id = self.frame_id
+        host = HostFrame(jax.device_get(fd))  # the retired frame
+        kf = self.map.add_keyframe(host, R, t, frame_id, ts)
         for feat, pid in enumerate(cur_pt_ids):
             if pid >= 0 and self.map.pt_valid[pid]:
                 self.map.add_point_obs(int(pid), kf, feat)
@@ -758,18 +865,18 @@ class Tracker:
         new_ln = self._create_lines_from_depth(kf, host, R, t, cur_ln_ids)
         cur_ln_ids = cur_ln_ids.copy()
         cur_ln_ids[new_ln >= 0] = new_ln[new_ln >= 0]
-        self.last_kf_id = self.frame_id
+        self.last_kf_id = frame_id
         self.last_kf = kf
         self.ref_kf = kf
         if self.local_mapper is not None:
             self.local_mapper.on_new_landmarks(kf, new_pt, new_ln)
             self.local_mapper.process_keyframe(kf)
-        self._register_bow(kf, self._prev_fd)
+        self._register_bow(kf, fd)
         if self.loop_closer is not None:
             self.loop_closer.process_keyframe(kf)
         self.last_pt_ids = cur_pt_ids
         self.last_ln_ids = cur_ln_ids
-        self._refresh_local_map(cur_pt_ids, cur_ln_ids)
+        self._refresh_local_map(cur_pt_ids, cur_ln_ids, rebind=False)
 
     def _register_bow(self, kf: int, fd: FrameData):
         if self.kfdb is not None and self.voc is not None:

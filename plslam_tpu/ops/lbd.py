@@ -26,7 +26,11 @@ import numpy as np
 from ..config import LineConfig
 from . import image
 
-_S = 24  # samples along the line
+_S = 12          # samples along the line
+_ROWS_PER_BAND = 3  # perpendicular samples per band (band rows are ~7 px but
+                    # the gradient maps are pre-blurred, so a 2.3 px sampling
+                    # stride loses little; gathers are the TPU cost — this is
+                    # an 8x reduction vs sampling every row/column)
 
 def _band_pairs(nb: int = 9) -> np.ndarray:
     """Ordered band pairs (i < j), local comparisons first — the bits compare
@@ -48,10 +52,14 @@ def _bilinear(imgmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = imgmap[y0, x0]
-    v01 = imgmap[y0, x0 + 1]
-    v10 = imgmap[y0 + 1, x0]
-    v11 = imgmap[y0 + 1, x0 + 1]
+    # linearized 1D gathers: lower faster than 2D gathers on TPU
+    w_ = imgmap.shape[1]
+    flat = imgmap.ravel()
+    base = y0 * w_ + x0
+    v00 = flat[base]
+    v01 = flat[base + 1]
+    v10 = flat[base + w_]
+    v11 = flat[base + w_ + 1]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -70,7 +78,8 @@ def lbd_descriptors(
 ) -> jax.Array:
     """Binary LBD descriptors (NL, 32) uint8 from precomputed gradients."""
     nb, bw = cfg.lbd_n_bands, cfg.lbd_band_width
-    rows = nb * bw  # perpendicular extent
+    rpb = _ROWS_PER_BAND
+    rows = nb * rpb  # perpendicular SAMPLES (bands span nb*bw px)
 
     s = endpoints[:, 0]  # (NL, 2)
     e = endpoints[:, 1]
@@ -80,7 +89,10 @@ def lbd_descriptors(
     n = jnp.stack([-d[:, 1], d[:, 0]], -1)  # unit normal
 
     ts = (jnp.arange(_S) + 0.5) / _S    # (S,)
-    offs = jnp.arange(rows) - (rows - 1) / 2.0  # (rows,)
+    # per-band sample offsets in px: rpb evenly spaced rows inside each
+    # bw-px band, bands centered on the line
+    stride = bw / rpb
+    offs = (jnp.arange(rows) + 0.5) * stride - (nb * bw) / 2.0  # (rows,)
 
     # sample positions: (NL, S, rows, 2)
     base = s[:, None, :] + ts[None, :, None] * (e - s)[:, None, :]
@@ -93,7 +105,7 @@ def lbd_descriptors(
     g_perp = sg_x * n[:, None, None, 0] + sg_y * n[:, None, None, 1]
 
     # global Gaussian row weighting (LBD paper f_g)
-    sigma_g = 0.5 * (rows - 1)
+    sigma_g = 0.5 * (nb * bw - 1)
     wg = jnp.exp(-(offs**2) / (2 * sigma_g**2))  # (rows,)
 
     # half-wave rectified projections, band-accumulated over rows
@@ -108,7 +120,7 @@ def lbd_descriptors(
     )  # (NL, S, rows, 4)
     feats = feats * wg[None, None, :, None]
     nl = endpoints.shape[0]
-    band = feats.reshape(nl, _S, nb, bw, 4).sum(axis=3)  # (NL, S, nb, 4)
+    band = feats.reshape(nl, _S, nb, rpb, 4).sum(axis=3)  # (NL, S, nb, 4)
 
     mean = band.mean(axis=1)                       # (NL, nb, 4)
     std = band.std(axis=1)                         # (NL, nb, 4)

@@ -10,9 +10,11 @@ and perpendicular to it) but finds segments with dense parallel primitives:
  2. Quantize line orientation (mod pi) into B bins with +/- tolerance.
  3. Per-bin Hough-like histogram over the perpendicular offset rho;
     1D NMS + top-K peaks -> (theta, rho) candidates.
- 4. Per candidate: support pixels within a rho corridor; occupancy along the
-    line direction; the longest gap-tolerant run (via a cummax scan — no
-    sequential loop) gives the segment extent.
+ 4. Per candidate: support pixels within a rho corridor, reduced to the
+    strongest S per candidate with a row-wise ``approx_max_k`` (no scatter —
+    TPU scatter throughput would dominate the whole detector), sorted along
+    the line direction; the longest gap-tolerant run over the sorted
+    projections (one associative scan) gives the segment extent.
  5. Weighted PCA of the run's support pixels refines angle/offset to
     sub-pixel; endpoints = extreme projections of supports onto the fit.
  6. Candidate NMS (same orientation + offset + overlapping extent), then
@@ -47,44 +49,10 @@ class LineFeatures(NamedTuple):
 
 
 # static working-set sizes
-_P = 16384         # sparse strong-gradient pixel budget (Hough voting)
-_P_RUN = 12288      # subset used for per-candidate support/run finding
-                   # (scatter cost on TPU scales with C*P; the strongest half
-                   # of the working set is enough to delimit segments)
+_P = 12288         # sparse strong-gradient pixel budget (Hough voting)
+_P_RUN = 8192      # subset used for per-candidate support/run finding
 _K_PER_BIN = 16    # rho peaks kept per orientation bin
-_T_BINS = 192      # occupancy bins along the line direction
-_T_RES = 4.0       # px per occupancy bin
-
-
-def _longest_run(occ: jax.Array, max_gap_bins: int) -> tuple[jax.Array, jax.Array]:
-    """Longest gap-tolerant run per row of a (C, T) occupancy matrix.
-
-    A run may bridge gaps of up to ``max_gap_bins`` empty bins. Returns
-    (start_bin, end_bin) inclusive, argmax by run length.
-    """
-    C, T = occ.shape
-    # close small gaps: dilate then erode along t (binary closing)
-    if max_gap_bins > 0:
-        w = 2 * max_gap_bins + 1
-        dil = jax.lax.reduce_window(
-            occ.astype(jnp.float32), 0.0, jax.lax.max, (1, w), (1, 1), "SAME"
-        )
-        closed = -jax.lax.reduce_window(
-            -dil, -1.0, jax.lax.max, (1, w), (1, 1), "SAME"
-        )
-        occ_c = closed > 0.5
-    else:
-        occ_c = occ
-    idx = jax.lax.broadcasted_iota(jnp.int32, (C, T), 1)
-    # last empty bin at or before t  (prefix max of idx over empty bins)
-    last_zero = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(occ_c, jnp.int32(-1), idx), axis=1
-    )
-    run_len = jnp.where(occ_c, idx - last_zero, 0)
-    end = jnp.argmax(run_len, axis=1).astype(jnp.int32)
-    length = jnp.max(run_len, axis=1)
-    start = end - length + 1
-    return start, end
+_S_SUP = 1024      # strongest supports kept per candidate (approx_max_k)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "hw"))
@@ -176,18 +144,21 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
     # Round 0 gathers support in the Hough (theta, rho) corridor; later
     # rounds re-gather against the refined infinite line, which re-unites
     # fragments that coarse angular bins split across rho corridors.
-    gap_bins = max(int(cfg.gap_tolerance_px / _T_RES), 1)
     corridor = 1.5 * cfg.rho_bin_px
+    BIG = jnp.float32(1e9)
 
     # run/fit stages operate on the strongest _P_RUN pixels only
     qx_r, qy_r = qx[:_P_RUN], qy[:_P_RUN]
     theta_r = theta_p[:_P_RUN]
     p_ok_r = p_ok[:_P_RUN]
     pw_r = pw[:_P_RUN]
+    pgx_r, pgy_r = pgx[:_P_RUN], pgy[:_P_RUN]
 
-    def gather_fit(mx, my, dx_f, dy_f, first, mx0=None):
-        """Support pixels near the line through (mx,my) dir (dx_f,dy_f),
-        longest run along it, weighted PCA fit. Returns fit + extent."""
+    def gather_fit(mx, my, dx_f, dy_f):
+        """Support pixels near the line through (mx,my) dir (dx_f,dy_f):
+        keep the strongest _S_SUP per candidate, sort along the line, take
+        the longest gap-tolerant run, weighted-PCA fit. All dense ops —
+        the only irregulars are a row-wise approx_max_k and a row sort."""
         # angular gate: pixel's own orientation close to the line's (mod pi)
         ang_line = jnp.mod(jnp.arctan2(dy_f, dx_f), jnp.pi)
         dthc = jnp.abs(theta_r[None, :] - ang_line[:, None])
@@ -200,20 +171,72 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
             + (qy_r[None, :] - my[:, None]) * nyf[:, None]
         )
         sup = ang_gate & (dperp < corridor)
+        # polarity split: a painted stripe's two anti-parallel edges both sit
+        # inside the corridor, and a fit over their union settles ~midway —
+        # unstably, drifting 1-2 px between frames (LBD flips ~20 bits/px).
+        # Keep only ONE polarity class, chosen deterministically: positive
+        # canonical polarity unless negative clearly dominates. The canonical
+        # normal uses a fixed half-plane (NOT the Hough-bin direction, whose
+        # mod-pi wraparound flips for near-horizontal lines under rotation).
+        canon = jnp.where(jnp.sign(dy_f + 0.2 * dx_f) == 0, 1.0,
+                          jnp.sign(dy_f + 0.2 * dx_f))
+        ncx = canon * -dy_f
+        ncy = canon * dx_f
+        gdot = pgx_r[None, :] * ncx[:, None] + pgy_r[None, :] * ncy[:, None]
+        w_sup = jnp.where(sup, pw_r[None, :], 0.0)
+        s_pos = jnp.sum(jnp.where(gdot > 0, w_sup, 0.0), axis=1)
+        s_neg = jnp.sum(jnp.where(gdot <= 0, w_sup, 0.0), axis=1)
+        pol_pos = s_pos >= 0.3 * (s_pos + s_neg)
+        pol_class = jnp.where(pol_pos[:, None], gdot > 0, gdot <= 0)
         t = (qx_r[None, :] - mx[:, None]) * dx_f[:, None] + (
             qy_r[None, :] - my[:, None]
         ) * dy_f[:, None]
-        t_idx = jnp.clip((t / _T_RES + _T_BINS / 2).astype(jnp.int32), 0, _T_BINS - 1)
-        occ_flat = jnp.zeros((C * _T_BINS,), jnp.int32).at[
-            (jax.lax.broadcasted_iota(jnp.int32, (C, _P_RUN), 0) * _T_BINS + t_idx
-             ).reshape(-1)
-        ].add(sup.astype(jnp.int32).reshape(-1))
-        occ = occ_flat.reshape(C, _T_BINS) > 0
-        run_s, run_e = _longest_run(occ, gap_bins)
-        t_lo = (run_s.astype(jnp.float32) - _T_BINS / 2 - 0.5) * _T_RES
-        t_hi = (run_e.astype(jnp.float32) - _T_BINS / 2 + 0.5) * _T_RES
+        # strongest S supports per candidate (C, S). The weight and the line
+        # parameter are PACKED into one f32 (w in the high bits, quantized t
+        # in the low 12) so approx_max_k returns t directly — the
+        # take_along_axis gather it replaces costs ~2 ms/round on TPU, and
+        # run segmentation only needs t to ~1 px anyway. Exact integers up
+        # to 2^24 are representable: 3000*4096 + 4096 < 2^24.
+        w_q = jnp.floor(jnp.clip(pw_r[None, :], 1.0, 3000.0))
+        t_q = jnp.floor(jnp.clip(t + 2048.0, 0.0, 4095.0))
+        pack = jnp.where(sup, w_q * 4096.0 + t_q, 0.0)
+        top_pack, _ = jax.lax.approx_max_k(pack, _S_SUP)
+        ok = top_pack > 0.0
+        t_sel = jnp.mod(top_pack, 4096.0) - 2048.0
+        # sort support t values along the line; invalids to the end (value
+        # sort, not argsort — nothing else needs to travel with t)
+        ts = jnp.sort(jnp.where(ok, t_sel, BIG), axis=1)
+        ok_s = ts < 0.5 * BIG
+        idx = jax.lax.broadcasted_iota(jnp.int32, (C, _S_SUP), 1)
+        prev = jnp.concatenate([jnp.full((C, 1), -BIG), ts[:, :-1]], axis=1)
+        # 2x tolerance: crossings with other lines blank the angular gate for
+        # ~a line-width; the old binary-closing formulation bridged ~2 bins
+        # each side, which this reproduces
+        newrun = (ts - prev > 2.0 * cfg.gap_tolerance_px) | ~ok_s | (idx == 0)
+        # start index of the run each element belongs to (prefix max)
+        start_i = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(newrun, idx, -1), axis=1
+        )
+        # pick the longest run by SPAN along the line (count under-ranks runs
+        # thinned by the per-candidate support cap)
+        ts_start = jnp.take_along_axis(ts, jnp.maximum(start_i, 0), 1)
+        span = jnp.where(ok_s, ts - ts_start, -1.0)
+        best_end = jnp.argmax(span, axis=1).astype(jnp.int32)
+        best_start = jnp.take_along_axis(start_i, best_end[:, None], 1)[:, 0]
+        # run extent in t (from the sorted subset)
+        t_lo = jnp.take_along_axis(ts, jnp.maximum(best_start, 0)[:, None], 1)[:, 0]
+        t_hi = jnp.take_along_axis(ts, best_end[:, None], 1)[:, 0]
+        # weighted PCA over ALL supports inside the run extent — dense (C, P)
+        # reductions (no scatter). The top-S subset only delimits the run;
+        # fitting on it alone is unstable: which supports are "strongest"
+        # varies frame to frame and both edges of a stripe share the
+        # corridor, so a biased subset shifts the fitted line by ~1-2 px —
+        # and LBD flips ~20 bits per px of perpendicular drift.
         in_run = sup & (t >= t_lo[:, None]) & (t <= t_hi[:, None])
-        wgt = jnp.where(in_run, pw_r[None, :], 0.0)  # (C, P_RUN)
+        # PCA over the chosen polarity class only (see pol_class above): the
+        # fit locks onto ONE edge of a stripe instead of drifting between the
+        # two. Runs/extent/counts still use the full support set.
+        wgt = jnp.where(in_run & pol_class, pw_r[None, :], 0.0)  # (C, P_RUN)
         sw = jnp.sum(wgt, axis=1) + 1e-6
         mx2 = jnp.sum(wgt * qx_r[None, :], axis=1) / sw
         my2 = jnp.sum(wgt * qy_r[None, :], axis=1) / sw
@@ -229,10 +252,17 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
         dx2 = jnp.where(flip, -dx2, dx2)
         dy2 = jnp.where(flip, -dy2, dy2)
         t_f = dxq * dx2[:, None] + dyq * dy2[:, None]
-        t_min = jnp.min(jnp.where(in_run, t_f, jnp.inf), axis=1)
-        t_max = jnp.max(jnp.where(in_run, t_f, -jnp.inf), axis=1)
+        t_min = jnp.min(jnp.where(in_run, t_f, BIG), axis=1)
+        t_max = jnp.max(jnp.where(in_run, t_f, -BIG), axis=1)
         n_sup = jnp.sum(in_run, axis=1)
-        return mx2, my2, dx2, dy2, t_min, t_max, n_sup, in_run
+        # mean gradient projected on the refined normal (endpoint ordering);
+        # over the fit class only — the full-set sum cancels to ~0 on stripes
+        # and its sign (hence endpoint order) would flip frame to frame
+        in_fit = in_run & pol_class
+        gn = jnp.sum(jnp.where(in_fit, pgx_r[None, :], 0.0), axis=1) * (-dy2) + (
+            jnp.sum(jnp.where(in_fit, pgy_r[None, :], 0.0), axis=1) * dx2
+        )
+        return mx2, my2, dx2, dy2, t_min, t_max, n_sup, gn
 
     # initial line params from the Hough candidate: anchor = rho * normal
     mx = cand_rho * -jnp.sin(cand_theta)
@@ -240,9 +270,11 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
     dx_f = jnp.cos(cand_theta)
     dy_f = jnp.sin(cand_theta)
     for _ in range(2):
-        mx, my, dx_f, dy_f, t_min, t_max, n_sup, in_run = gather_fit(
-            mx, my, dx_f, dy_f, first=False
+        mx, my, dx_f, dy_f, t_min, t_max, n_sup, gn = gather_fit(
+            mx, my, dx_f, dy_f
         )
+    t_min = jnp.where(t_min >= BIG, jnp.inf, t_min)
+    t_max = jnp.where(t_max <= -BIG, -jnp.inf, t_max)
 
     seg_ok = cand_ok & (n_sup >= 8) & jnp.isfinite(t_min) & jnp.isfinite(t_max)
     t_min = jnp.where(seg_ok, t_min, 0.0)
@@ -275,8 +307,31 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
     ov_lo = jnp.maximum(t_min[:, None], tj_lo)
     ov_hi = jnp.minimum(t_max[:, None], tj_hi)
     overlap = (ov_hi - ov_lo) > -cfg.gap_tolerance_px
-    similar = (d_ang < jnp.pi / B) & (off < 3.0 * cfg.rho_bin_px) & overlap
-    score = jnp.where(seg_ok, length, -1.0)
+    # duplicates of one structure converge to the SAME edge under the
+    # polarity-class fit (off ≈ 0), so suppression can be tight — a loose
+    # gate here chains distinct overlapping segments into giant suppression
+    # groups and decimates the detection count
+    # require substantial mutual extent overlap: duplicates share most of
+    # their span; collinear fragments that merely touch are distinct lines
+    strong_overlap = (ov_hi - ov_lo) > 0.3 * jnp.minimum(
+        length[:, None], length[None, :]
+    )
+    similar = (d_ang < jnp.pi / 36) & (off < 1.5 * cfg.rho_bin_px) & strong_overlap
+    # union-extend each segment over its collinear overlapping fragments: the
+    # per-candidate support cap can truncate long lines, but the truncated
+    # remainder surfaces as another candidate; the union recovers full extent
+    # (the reference's disabled KeyLineMerging intent, LineExtractor.cpp:83-157)
+    # deterministic polarity preference: the two anti-parallel edges of a
+    # painted stripe are both "similar" under NMS and near-equal in length —
+    # without a stable tiebreak the surviving edge flips between frames and
+    # descriptor matching compares opposite edges (LBD flips ~20 bits/px of
+    # perpendicular offset). gn's sign depends on the direction convention,
+    # which must NOT come from the Hough bin (mod-pi wraparound flips it for
+    # near-horizontal lines under small rotations): canonicalize against a
+    # fixed half-plane tilted away from the Manhattan directions.
+    canon = jnp.sign(dy_f + 0.2 * dx_f)
+    gn_c = gn * jnp.where(canon == 0, 1.0, canon)
+    score = jnp.where(seg_ok, length * jnp.where(gn_c > 0, 2.0, 1.0), -1.0)
     # suppressed if a similar segment has a strictly better (score, idx) key
     key = score * C - jnp.arange(C)
     better = similar & (key[None, :] > key[:, None]) & seg_ok[None, :]
@@ -292,12 +347,7 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
     s_sel = jnp.stack([sx[top_idx], sy[top_idx]], -1)
     e_sel = jnp.stack([ex[top_idx], ey[top_idx]], -1)
     # orient by mean gradient normal (stable endpoint order across frames)
-    gn = jnp.sum(jnp.where(in_run, pgx[None, :_P_RUN], 0.0), axis=1)[top_idx] * (
-        -jnp.sin(ang_c[top_idx])
-    ) + jnp.sum(jnp.where(in_run, pgy[None, :_P_RUN], 0.0), axis=1)[top_idx] * jnp.cos(
-        ang_c[top_idx]
-    )
-    swap = gn < 0
+    swap = gn[top_idx] < 0
     s_fin = jnp.where(swap[:, None], e_sel, s_sel)
     e_fin = jnp.where(swap[:, None], s_sel, e_sel)
 

@@ -28,11 +28,13 @@ class TestRelocalization:
         poses = smooth_trajectory(60)[:30]
         R0g, t0g = poses[0]
 
-        # phase 1: normal tracking
+        # phase 1: normal tracking (lag-1 pipeline: frame 1 returns None —
+        # its result arrives with frame 2's call)
         for i in range(15):
             g, d = scene.render(CAM, *poses[i])
             out = tr.process(g, d, i / 30.0)
-            assert out is not None
+            if i != 1:
+                assert out is not None
         assert tr.state == OK
         assert m.n_kf >= 2
 

@@ -27,12 +27,18 @@ def run_sequence(cfg, n_frames=40, seed=0):
     lm = LocalMapper(cfg, m)
     tr = Tracker(cfg, m, local_mapper=lm)
     R0g, t0g = poses[0]
-    errs = []
     for i, (R, t) in enumerate(poses):
         g, d = scene.render(cfg.camera, R, t)
-        out = tr.process(g, d, i / 30.0)
-        assert out is not None, f"no pose at frame {i}"
-        Re, te = out
+        tr.process(g, d, i / 30.0)
+    tr.flush()  # drain the lag-1 pipeline
+    # every frame must have produced a trajectory entry; evaluate by timestamp
+    assert len(tr.trajectory) == n_frames, (
+        f"only {len(tr.trajectory)}/{n_frames} frames tracked"
+    )
+    errs = []
+    for ts, Re, te in tr.trajectory:
+        i = int(round(ts * 30.0))
+        R, t = poses[i]
         Rrel = R @ R0g.T
         trel = t - Rrel @ t0g
         errs.append(np.linalg.norm(-Re.T @ te - (-Rrel.T @ trel)))
