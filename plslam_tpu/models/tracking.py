@@ -460,12 +460,16 @@ class Tracker:
         self.last_pose: tuple[np.ndarray, np.ndarray] | None = None
         self.last_pt_ids: np.ndarray | None = None
         self.last_ln_ids: np.ndarray | None = None
-        # --- pipelining (lag-1): the fused step for frame k is dispatched
-        # before frame k-1's results are fetched, so the ~25 ms synchronous
-        # round trip of the networked TPU overlaps frame k's device compute.
-        # ``_pending`` holds the in-flight frame's handles; slot remaps
-        # reconcile a local-map refresh with the already-dispatched frame.
-        self._pending: dict | None = None
+        # --- pipelining: the fused step for frame k is dispatched before
+        # older frames' results are fetched, so the networked TPU's fetch
+        # latency (~25 ms RTT; result copies land ~one-way-latency after
+        # compute ends) overlaps newer frames' device compute. Depth 2:
+        # results are fetched two frames later, by which time the async
+        # host copies have fully landed (depth 1 still blocks on the copy's
+        # one-way flight). ``_queue`` holds in-flight frames; slot remaps
+        # reconcile local-map refreshes with already-dispatched frames.
+        self.pipeline_depth = 1
+        self._queue: list[dict] = []
         self._id_pt = jnp.arange(self.LM_CAP, dtype=jnp.int32)
         self._id_ln = jnp.arange(self.LL_CAP, dtype=jnp.int32)
         self._pt_remap = self._id_pt
@@ -498,19 +502,21 @@ class Tracker:
                 self.reset()
             self.n_lost_frames += 1
             return None
-        # OK: dispatch this frame, then retire the previous one — the fetch
-        # round trip rides on top of this frame's device compute
+        # OK: dispatch this frame, then retire the oldest in-flight one —
+        # the fetch latency rides on top of the newer frames' device compute
         out = self._dispatch(gray, depth)
         result = None
-        if self._pending is not None:
-            pending, self._pending = self._pending, None
+        if len(self._queue) >= self.pipeline_depth:
+            pending = self._queue.pop(0)
             ok = self._finish(pending)
             if ok:
                 result = self.last_pose
                 self.n_lost_frames = 0
             else:
-                # previous frame failed: the dispatch above used its bad
-                # pose — discard it, keep its perception for relocalization
+                # an old frame failed: every newer dispatch (queued + this
+                # one) used its bad pose — discard them all, keep this
+                # frame's perception for relocalization
+                self._queue.clear()
                 self.n_lost_frames += 1
                 self.state = LOST
                 self._prev_slot_pt = jnp.full_like(self._prev_slot_pt, -1)
@@ -519,19 +525,20 @@ class Tracker:
                 if self._try_relocalize(timestamp):
                     return self.last_pose
                 return None
-        self._pending = dict(
+        self._queue.append(dict(
             out=out, timestamp=timestamp, frame_id=self.frame_id,
             lp_ids=self._lp_ids, ll_ids=self._ll_ids,
-        )
+        ))
         return result
 
     def flush(self):
-        """Drain the in-flight frame (call before reading the trajectory)."""
-        if self._pending is not None:
-            pending, self._pending = self._pending, None
+        """Drain all in-flight frames (call before reading the trajectory)."""
+        while self._queue:
+            pending = self._queue.pop(0)
             if self._finish(pending):
                 self.n_lost_frames = 0
             else:
+                self._queue.clear()
                 self.state = LOST
                 self.n_lost_frames += 1
 
@@ -546,6 +553,8 @@ class Tracker:
         )
         self._pt_remap = self._id_pt
         self._ln_remap = self._id_ln
+        self._pt_remap_np = None
+        self._ln_remap_np = None
         # start the host copies now; they complete during this frame's compute
         for a in (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
                   out.lml_feat, out.lml_inlier, out.n_motion_matches,
@@ -774,8 +783,10 @@ class Tracker:
             self._prev_slot_ln = jnp.asarray(fsl)
             self._pt_remap = self._id_pt
             self._ln_remap = self._id_ln
+            self._pt_remap_np = None
+            self._ln_remap_np = None
         else:
-            # old-slot -> new-slot remaps for the in-flight frame
+            # old-slot -> new-slot remaps for the in-flight frames
             rm = np.full(self.LM_CAP, -1, np.int32)
             for i, pid in enumerate(old_lp):
                 s = slot_of_pid.get(int(pid))
@@ -786,6 +797,16 @@ class Tracker:
                 s = slot_of_lid.get(int(lid))
                 if s is not None:
                     rml[i] = s
+            # compose with a not-yet-consumed remap (two refreshes can land
+            # between dispatches, e.g. while flushing a depth-2 pipeline)
+            if self._pt_remap_np is not None:
+                prev = self._pt_remap_np
+                rm = np.where(prev >= 0, rm[np.clip(prev, 0, None)], -1)
+            if self._ln_remap_np is not None:
+                prev = self._ln_remap_np
+                rml = np.where(prev >= 0, rml[np.clip(prev, 0, None)], -1)
+            self._pt_remap_np = rm
+            self._ln_remap_np = rml
             self._pt_remap = jnp.asarray(rm)
             self._ln_remap = jnp.asarray(rml)
 

@@ -44,28 +44,15 @@ def _band_pairs(nb: int = 9) -> np.ndarray:
 _BPAIRS = _band_pairs()
 
 
-def _bilinear(imgmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+def _sample_nearest(imgmap: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Nearest-neighbor sampling via one linearized gather. The gradient
+    maps are pre-blurred (sigma 1) and band statistics average ~100 samples,
+    so bilinear's sub-pixel precision buys nothing here — and gathers are
+    the whole cost of LBD on TPU (4x fewer with nearest)."""
     h, w = imgmap.shape
-    x = jnp.clip(x, 0.0, w - 1.001)
-    y = jnp.clip(y, 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    # linearized 1D gathers: lower faster than 2D gathers on TPU
-    w_ = imgmap.shape[1]
-    flat = imgmap.ravel()
-    base = y0 * w_ + x0
-    v00 = flat[base]
-    v01 = flat[base + 1]
-    v10 = flat[base + w_]
-    v11 = flat[base + w_ + 1]
-    return (
-        v00 * (1 - fx) * (1 - fy)
-        + v01 * fx * (1 - fy)
-        + v10 * (1 - fx) * fy
-        + v11 * fx * fy
-    )
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, h - 1)
+    return imgmap.ravel()[yi * w + xi]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -99,8 +86,8 @@ def lbd_descriptors(
     pos = base[:, :, None, :] + offs[None, None, :, None] * n[:, None, None, :]
     x = pos[..., 0]
     y = pos[..., 1]
-    sg_x = _bilinear(gx, x, y)  # (NL, S, rows)
-    sg_y = _bilinear(gy, x, y)
+    sg_x = _sample_nearest(gx, x, y)  # (NL, S, rows)
+    sg_y = _sample_nearest(gy, x, y)
     g_par = sg_x * d[:, None, None, 0] + sg_y * d[:, None, None, 1]
     g_perp = sg_x * n[:, None, None, 0] + sg_y * n[:, None, None, 1]
 

@@ -51,7 +51,7 @@ class LineFeatures(NamedTuple):
 # static working-set sizes
 _P = 12288         # sparse strong-gradient pixel budget (Hough voting)
 _P_RUN = 8192      # subset used for per-candidate support/run finding
-_K_PER_BIN = 16    # rho peaks kept per orientation bin
+_K_PER_BIN = 8     # rho peaks kept per orientation bin
 _S_SUP = 1024      # strongest supports kept per candidate (approx_max_k)
 
 
@@ -115,12 +115,19 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
     )
 
     # ---- 2. Hough histogram + peaks --------------------------------------
-    flat_bins = (
-        jax.lax.broadcasted_iota(jnp.int32, (B, _P), 0) * NR + rho_idx
-    ).reshape(-1)
-    hist = jnp.zeros((B * NR,), jnp.float32).at[flat_bins].add(
-        jnp.where(inbin, pw[None, :], 0.0).reshape(-1)
-    ).reshape(B, NR)
+    # one-hot contraction on the MXU instead of a scatter-add: hist[b, r] =
+    # sum_p w[b,p] * 1[rho_idx[b,p] == r]. TPU scatter costs ~1.7 ms here;
+    # the bf16 batched matmul with a materialized one-hot is ~3x cheaper.
+    w_b = jnp.where(inbin, pw[None, :], 0.0).astype(jnp.bfloat16)  # (B, P)
+    onehot = (
+        rho_idx[:, :, None]
+        == jax.lax.broadcasted_iota(jnp.int32, (1, 1, NR), 2)
+    ).astype(jnp.bfloat16)  # (B, P, NR)
+    hist = jax.lax.dot_general(
+        w_b[:, None, :], onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )[:, 0, :]  # (B, NR)
     # smooth +/-1 bin, then NMS over a 5-bin window
     kernel = jnp.asarray([0.25, 0.5, 0.25])
     hist_s = (

@@ -28,12 +28,12 @@ class TestRelocalization:
         poses = smooth_trajectory(60)[:30]
         R0g, t0g = poses[0]
 
-        # phase 1: normal tracking (lag-1 pipeline: frame 1 returns None —
-        # its result arrives with frame 2's call)
+        # phase 1: normal tracking (pipelined: the first `pipeline_depth`
+        # post-init frames return None — results arrive with later calls)
         for i in range(15):
             g, d = scene.render(CAM, *poses[i])
             out = tr.process(g, d, i / 30.0)
-            if i != 1:
+            if i == 0 or i > tr.pipeline_depth:
                 assert out is not None
         assert tr.state == OK
         assert m.n_kf >= 2

@@ -22,7 +22,9 @@ class TestSystem:
         for i, (R, t) in enumerate(poses):
             g, d = scene.render(CAM, R, t)
             out = slam.track_rgbd(g, d, i / 30.0)
-            if i != 1:  # lag-1 pipeline: frame 1's pose arrives with frame 2
+            # pipelined tracker: the first `pipeline_depth` post-init
+            # frames return None (their poses arrive with later calls)
+            if i == 0 or i > slam.tracker.pipeline_depth:
                 assert out is not None
             c = -R.T @ t
             gt_rows.append((i / 30.0, c))
