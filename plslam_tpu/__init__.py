@@ -29,6 +29,8 @@ Layer map (mirrors SURVEY.md §1 of the reference):
 
 __version__ = "0.1.0"
 
+import os as _os
+
 import jax as _jax
 
 # Geometry/optimization math is small-matrix and precision-sensitive (3x3
@@ -36,4 +38,31 @@ import jax as _jax
 # accumulation. FLOP-heavy kernels (descriptor matmuls, image convs) opt into
 # lower precision explicitly where profitable.
 _jax.config.update("jax_default_matmul_precision", "float32")
-del _jax
+
+# Persistent compilation cache: the big jitted programs (fused track step,
+# Schur bundle adjustment) take tens of seconds of XLA compile time on first
+# use — and on a networked TPU that compile also stalls the shared transport
+# every process start. Cache compiled executables across runs. The directory
+# is keyed by this host's CPU feature set: XLA:CPU AOT executables are
+# machine-code specialized, and loading one compiled on a different
+# microarchitecture can SIGILL.
+if not _os.environ.get("PLSLAM_NO_COMPILE_CACHE"):
+    import hashlib as _hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _feat = next((l for l in _f if l.startswith("flags")), "")
+    except OSError:  # pragma: no cover - non-Linux
+        import platform as _platform
+
+        _feat = _platform.processor()
+    _key = _hashlib.sha1(_feat.encode()).hexdigest()[:10]
+    _cache = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.expanduser(f"~/.cache/plslam_tpu_xla_{_key}"),
+    )
+    _os.makedirs(_cache, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    del _hashlib, _key, _cache
+del _jax, _os

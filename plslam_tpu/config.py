@@ -98,6 +98,10 @@ class TrackingConfig:
     local_map_kf_cap: int = 80            # UpdateLocalKeyFrames (Tracking.cc:1981)
     reloc_min_inliers: int = 10
     reset_if_lost_with_kfs_leq: int = 5
+    # Frames in flight before a result is retired (0 = auto: deep on TPU,
+    # where dispatch+fetch latency dwarfs per-frame compute; shallow on CPU,
+    # where lagged keyframe decisions cost tracking quality on fast motion).
+    pipeline_depth: int = 0
 
 
 @dataclass(frozen=True)

@@ -23,8 +23,11 @@ class AsyncLocalMapper:
 
     def __init__(self, inner):
         self.inner = inner
-        self.lock = threading.RLock()       # the mMutexMapUpdate equivalent
+        self.lock = inner.lock              # the mMutexMapUpdate equivalent
         self._q: queue.Queue = queue.Queue()
+        # abort a running BA when another keyframe is waiting
+        # (LocalMapping::InterruptBA semantics, LocalMapping.cc:1107)
+        inner.should_abort = lambda: not self._q.empty()
         self._stop = False
         self._idle = threading.Event()
         self._idle.set()
@@ -52,17 +55,19 @@ class AsyncLocalMapper:
         with self.lock:
             self.inner.on_new_landmarks(kf, pt_ids, ln_ids)
 
+    @property
+    def should_abort(self):
+        return self.inner.should_abort
+
     def process_keyframe(self, kf: int):
         self._idle.clear()
         self._q.put(kf)
 
     def fuse(self, kf: int):
-        with self.lock:
-            self.inner.fuse(kf)
+        self.inner.fuse(kf)
 
     def run_local_ba(self, kf: int, window=None):
-        with self.lock:
-            self.inner.run_local_ba(kf, window)
+        self.inner.run_local_ba(kf, window)
 
     def replace_point(self, loser, winner):
         with self.lock:
@@ -79,8 +84,9 @@ class AsyncLocalMapper:
                 self._idle.set()
                 continue
             try:
-                with self.lock:
-                    self.inner.process_keyframe(kf)
+                # the inner mapper takes the map lock per stage; holding it
+                # across the whole pass (incl. BA) would stall the tracker
+                self.inner.process_keyframe(kf)
             except Exception as e:  # pragma: no cover
                 print(f"[async-mapper] error on KF {kf}: {e!r}")
             finally:

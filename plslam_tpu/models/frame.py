@@ -51,12 +51,16 @@ class FrameData(NamedTuple):
     ln_valid: jax.Array     # (NL,) bool
 
 
-def _sample_depth(depth: jax.Array, xy: jax.Array) -> jax.Array:
+def _sample_depth(depth: jax.Array, xy: jax.Array, hw: tuple[int, int]) -> jax.Array:
     """Depth at rounded pixel coords (reference samples the raw map directly,
-    Frame.cc:1080)."""
+    Frame.cc:1080). ``depth`` may be shipped at a coarser resolution than the
+    image (the half-res wire format halves the dominant host->device copy);
+    coordinates are scaled to its grid."""
     h, w = depth.shape
-    x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
-    y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    sx = w / hw[1]
+    sy = h / hw[0]
+    x = jnp.clip(jnp.round(xy[..., 0] * sx).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(xy[..., 1] * sy).astype(jnp.int32), 0, h - 1)
     return depth[y, x]
 
 
@@ -75,7 +79,7 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig) -> FrameData
         )
     feats = orb.extract_orb(gray, cfg.orb, hw)
     xy_un = projection.undistort_points(cam, feats.xy)
-    d = _sample_depth(depth, feats.xy)
+    d = _sample_depth(depth, feats.xy, hw)
     has_d = (d > 0) & feats.valid
     ur = jnp.where(has_d, xy_un[:, 0] - cam.bf / jnp.where(has_d, d, 1.0), -1.0)
 
@@ -84,7 +88,7 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig) -> FrameData
         gxy = image.sobel_gradients(image.gaussian_blur(gray.astype(jnp.float32), 5, 1.0))
         ldesc = lbd.lbd_descriptors(gxy[0], gxy[1], lf.endpoints, lf.valid, cfg.lines)
         ep_un = projection.undistort_points(cam, lf.endpoints)
-        ld = _sample_depth(depth, lf.endpoints) * lf.valid[:, None]
+        ld = _sample_depth(depth, lf.endpoints, hw) * lf.valid[:, None]
         from ..geometry.lines import line_equation_2d
 
         coeff = line_equation_2d(ep_un[:, 0], ep_un[:, 1])

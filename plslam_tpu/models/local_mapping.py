@@ -23,6 +23,8 @@ triangulation is an accuracy bonus, not a dependency).
 
 from __future__ import annotations
 
+import threading
+
 import functools
 
 import jax
@@ -105,6 +107,14 @@ class LocalMapper:
         self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
         self.recent_lines: list[tuple[int, int]] = []
         self._fuse_cap = 4096
+        # Map::mMutexMapUpdate equivalent: guards host map mutations against
+        # the tracker when this mapper runs on a worker thread. Held per
+        # STAGE, never across BA iterations — the reference holds its map
+        # mutex only around the write-back, and holding it through a
+        # multi-hundred-ms BA would stall the tracker's frame retirement.
+        self.lock = threading.RLock()
+        # polled between BA iterations (mbAbortBA, LocalMapping.cc:1107)
+        self.should_abort = None
 
     def on_new_landmarks(self, kf: int, pt_ids, ln_ids):
         for p in pt_ids:
@@ -116,8 +126,9 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
-        self.cull_points(kf)
-        self.cull_lines(kf)
+        with self.lock:
+            self.cull_points(kf)
+            self.cull_lines(kf)
         self.fuse(kf)
         if self.enable_ba and self.map.n_kf > 2:
             self.run_local_ba(kf)
@@ -165,6 +176,10 @@ class LocalMapper:
     def fuse(self, kf: int):
         """SearchInNeighbors: merge duplicate landmarks between the new KF
         and its 2-level covisibility neighborhood."""
+        with self.lock:
+            self._fuse_locked(kf)
+
+    def _fuse_locked(self, kf: int):
         m = self.map
         neighbors = m.covisible_keyframes(kf, self.cfg.mapping.triangulation_neighbors)
         ext = list(neighbors)
@@ -311,15 +326,20 @@ class LocalMapper:
 
     # ------------------------------------------------------------- local BA
     def run_local_ba(self, kf: int, window: int | None = None):
-        """Gather the covisibility-local BA problem, run the jitted Schur LM
-        (optim.local_ba), write back poses/landmarks, erase outlier
-        observations (LocalBundleAdjustment, Optimizer.cc:644-1063 — with
-        line landmarks live, as the reference's dead code intended)."""
+        """Gather the covisibility-local BA problem (under the map lock),
+        run the stepped Schur LM with the lock RELEASED — one XLA program
+        per iteration so the tracker's frame dispatches interleave, aborting
+        when a new keyframe queues up (mbAbortBA) — then write back poses/
+        landmarks and erase outlier observations under the lock again
+        (LocalBundleAdjustment, Optimizer.cc:644-1063 — with line landmarks
+        live, as the reference's dead code intended)."""
         import jax.numpy as jnp
 
         from ..optim import local_ba
 
         m = self.map
+        self.lock.acquire()
+        locked = True
         mc = self.cfg.mapping
         window = window or mc.local_ba_window
         C = window + mc.local_ba_fixed_cap
@@ -395,6 +415,7 @@ class LocalMapper:
                 lw.append(1.0)
                 lval.append(True)
         if len(oc) < 20:
+            self.lock.release()
             return
 
         def pad(arr, n, shape=(), dtype=np.float32):
@@ -431,20 +452,31 @@ class LocalMapper:
             lobs_w=jnp.asarray(pad(lw, OL)),
             lobs_valid=jnp.asarray(pad(lval, OL, dtype=bool)),
         )
-        res = local_ba.bundle_adjust(
-            self.cfg.camera, prob, iters1=mc.local_ba_iters1,
-            iters2=mc.local_ba_iters2,
-        )
-        (nR, nt, nxyz, nep, inl, linl) = jax.device_get(
-            (res.cam_R, res.cam_t, res.pt_xyz, res.ln_ep,
-             res.obs_inlier, res.lobs_inlier)
-        )
-        # write back
+        # iterate without the map lock: the tracker must be able to retire
+        # frames while LM runs (the reference's BA also runs outside the map
+        # mutex and is interruptible)
+        self.lock.release()
+        locked = False
+        try:
+            res = local_ba.bundle_adjust_stepped(
+                self.cfg.camera, prob, iters1=mc.local_ba_iters1,
+                iters2=mc.local_ba_iters2, should_abort=self.should_abort,
+            )
+            (nR, nt, nxyz, nep, inl, linl) = jax.device_get(
+                (res.cam_R, res.cam_t, res.pt_xyz, res.ln_ep,
+                 res.obs_inlier, res.lobs_inlier)
+            )
+        finally:
+            self.lock.acquire()
+            locked = True
+        # write back — guarding landmarks/KFs erased while the lock was out
         for i, c in enumerate(cams):
-            if not cam_fixed[i]:
+            if not cam_fixed[i] and m.kf_valid[c]:
                 m.set_kf_pose(c, nR[i], nt[i])
-        m.pt_pos[pids] = nxyz[:k]
-        m.ln_ep[lids] = nep[:kl]
+        still = m.pt_valid[pids]
+        m.pt_pos[pids[still]] = nxyz[:k][still]
+        lstill = m.ln_valid[lids]
+        m.ln_ep[lids[lstill]] = nep[:kl][lstill]
         # erase outlier observations (Optimizer.cc:1010-1045)
         for j in range(len(oc)):
             if not inl[j]:
@@ -464,6 +496,7 @@ class LocalMapper:
                     m.kf_ln_idx[okf, feat] = -1
                 if len(m.ln_obs[lid]) == 0:
                     m.erase_line(lid)
+        self.lock.release()
 
     def replace_line(self, loser: int, winner: int):
         m = self.map

@@ -464,11 +464,19 @@ class Tracker:
         # older frames' results are fetched, so the networked TPU's fetch
         # latency (~25 ms RTT; result copies land ~one-way-latency after
         # compute ends) overlaps newer frames' device compute. Depth 2:
-        # results are fetched two frames later, by which time the async
-        # host copies have fully landed (depth 1 still blocks on the copy's
-        # one-way flight). ``_queue`` holds in-flight frames; slot remaps
-        # reconcile local-map refreshes with already-dispatched frames.
-        self.pipeline_depth = 1
+        # results are fetched `depth` frames later. The tunneled TPU's
+        # end-to-end latency (upload flight + compute + result flight) is
+        # ~40 ms while pipelined throughput is ~13 ms/frame, so depth 3-4
+        # is needed to hide it (measured: depth 1 -> ~33 fps, depth 4 ->
+        # ~78 fps). On a local backend the latency being hidden doesn't
+        # exist, and the lagged keyframe decisions/local-map refreshes cost
+        # tracking quality under fast motion — so auto-depth is backend-
+        # keyed. ``_queue`` holds in-flight frames; slot remaps reconcile
+        # local-map refreshes with already-dispatched frames.
+        pd = cfg.tracking.pipeline_depth
+        if pd <= 0:
+            pd = 4 if jax.default_backend() == "tpu" else 1
+        self.pipeline_depth = pd
         self._queue: list[dict] = []
         self._id_pt = jnp.arange(self.LM_CAP, dtype=jnp.int32)
         self._id_ln = jnp.arange(self.LL_CAP, dtype=jnp.int32)
@@ -561,6 +569,12 @@ class Tracker:
                   out.n_motion_inliers, out.n_local_inliers,
                   out.tracked_close, out.creatable_close):
             a.copy_to_host_async()
+        # prefetch the frame snapshot too: if this frame becomes a keyframe,
+        # _create_new_keyframe device_gets the whole FrameData — a fresh
+        # synchronous fetch through the tunnel costs ~40 ms, while these
+        # async copies land during later frames' compute (~100 KB downstream)
+        for a in out.fd:
+            a.copy_to_host_async()
         self._prev_fd = out.fd
         self._prev_slot_pt = out.feat_slot_pt
         self._prev_slot_ln = out.feat_slot_ln
@@ -572,14 +586,29 @@ class Tracker:
         return out
 
     def _quantize_inputs(self, gray, depth):
-        """Pack images into <1 MB wire dtypes (uint8 gray, uint16 depth in
-        TUM depth_map_factor units) — the tunneled-TPU transport's slow path
-        for >1 MB copies costs ~47 ms per float32 VGA image otherwise."""
+        """Pack images into compact wire formats: uint8 gray and HALF-RES
+        uint16 depth (TUM depth_map_factor units, 2x2 min-of-nonzero pool).
+        The tunneled TPU's ordered transport makes upload bytes the frame
+        loop's floor — depth is only ever sampled at feature coordinates, so
+        shipping it at (H/2, W/2) cuts the dominant copy 4x with sub-pixel
+        sampling error comparable to the depth sensor's own edge noise."""
         if isinstance(gray, np.ndarray) and gray.dtype != np.uint8:
             gray = np.clip(gray, 0, 255).astype(np.uint8)
-        if isinstance(depth, np.ndarray) and depth.dtype != np.uint16:
-            f = self.cfg.tracking.depth_map_factor
-            depth = np.clip(depth * f, 0, 65535).astype(np.uint16)
+        if isinstance(depth, np.ndarray):
+            h, w = depth.shape
+            if depth.dtype != np.uint16:
+                f = self.cfg.tracking.depth_map_factor
+                depth = np.clip(depth * f, 0, 65535).astype(np.uint16)
+            if (h, w) == (self.cfg.camera.height, self.cfg.camera.width) \
+                    and h % 2 == 0 and w % 2 == 0:
+                blocks = depth.reshape(h // 2, 2, w // 2, 2)
+                # min over nonzero values; 0 (no depth) only if all 4 are 0.
+                # uint16 wraparound: x-1 maps 0 -> 65535 (loses every min
+                # against a real depth), +1 maps it back — no temporaries.
+                depth = blocks - np.uint16(1)
+                depth = np.minimum(depth[:, 0], depth[:, 1])
+                depth = np.minimum(depth[..., 0], depth[..., 1])
+                depth += np.uint16(1)
         return gray, depth
 
     def _try_relocalize(self, timestamp: float) -> bool:

@@ -147,20 +147,60 @@ def _huber_w(chi2, delta2):
     return jnp.where(chi2 <= delta2, 1.0, jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cam", "iters1", "iters2", "robust")
-)
-def bundle_adjust(
-    cam,
-    prob: BAProblem,
-    iters1: int = 5,
-    iters2: int = 10,
-    robust: bool = True,
-) -> BAResult:
-    """Two-phase LM BA with chi2 reclassification between phases."""
+def _delta2_pt(prob):
+    return jnp.where(prob.obs_ur >= 0, CHI2_STEREO, CHI2_MONO)
+
+
+def _chi2_all(cam, prob, cam_R, cam_t, pt_xyz, ln_ep):
+    Ro = cam_R[prob.obs_cam]
+    to = cam_t[prob.obs_cam]
+    Xo = pt_xyz[prob.obs_pt]
+    r = jax.vmap(
+        lambda R, t, X, uv, ur: _pt_residual(
+            cam, jnp.zeros(6), jnp.zeros(3), R, t, X, uv, ur
+        )
+    )(Ro, to, Xo, prob.obs_uv, prob.obs_ur)
+    chi_pt = jnp.sum(r**2, -1) * prob.obs_w
+    # behind-camera guard
+    pc_z = jnp.einsum("oi,oi->o", Ro[:, 2, :], Xo) + to[:, 2]
+    chi_pt = jnp.where(pc_z <= 0.05, jnp.inf, chi_pt)
+    Rl = cam_R[prob.lobs_cam]
+    tl = cam_t[prob.lobs_cam]
+    epl = ln_ep[prob.lobs_ln]
+    rl = jax.vmap(
+        lambda R, t, ep, uv: _ln_residual(
+            cam, jnp.zeros(6), jnp.zeros(6), R, t, ep, uv
+        )
+    )(Rl, tl, epl, prob.lobs_uv)
+    chi_ln = jnp.sum(rl**2, -1) * prob.lobs_w
+    return chi_pt, chi_ln
+
+
+def _robust_cost(cam, prob, cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln,
+                 use_robust):
+    chi_pt, chi_ln = _chi2_all(cam, prob, cam_R, cam_t, pt_xyz, ln_ep)
+
+    def rho(chi, d2):
+        chi = jnp.where(jnp.isfinite(chi), chi, 1e9)
+        return jnp.where(
+            use_robust & (chi > d2),
+            2.0 * jnp.sqrt(d2 * jnp.maximum(chi, 0.0)) - d2,
+            chi,
+        )
+
+    c1 = jnp.sum(rho(chi_pt, _delta2_pt(prob)) * (in_pt & prob.obs_valid))
+    c2 = jnp.sum(rho(chi_ln, CHI2_LINE) * (in_ln & prob.lobs_valid))
+    return c1 + c2
+
+
+def _lm_iteration(cam, prob, state, use_robust):
+    """One damped LM step: residuals + Jacobians, Schur solve, accept/reject
+    (the body of g2o OptimizationAlgorithmLevenberg::solve)."""
     C = prob.cam_R.shape[0]
     P = prob.pt_xyz.shape[0]
     L = prob.ln_ep.shape[0]
+    cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, lam = state
+    delta2_pt = _delta2_pt(prob)
 
     def pt_r_and_J(R, t, X, uv, ur):
         zero6 = jnp.zeros(6)
@@ -178,185 +218,210 @@ def bundle_adjust(
         Jl = jax.jacfwd(lambda de: _ln_residual(cam, zero6, de, R, t, ep, uv_obs))(zeroe)
         return r, Jc, Jl
 
-    def chi2_all(cam_R, cam_t, pt_xyz, ln_ep):
-        Ro = cam_R[prob.obs_cam]
-        to = cam_t[prob.obs_cam]
-        Xo = pt_xyz[prob.obs_pt]
-        r = jax.vmap(
-            lambda R, t, X, uv, ur: _pt_residual(
-                cam, jnp.zeros(6), jnp.zeros(3), R, t, X, uv, ur
-            )
-        )(Ro, to, Xo, prob.obs_uv, prob.obs_ur)
-        chi_pt = jnp.sum(r**2, -1) * prob.obs_w
-        # behind-camera guard
-        pc_z = jnp.einsum("oi,oi->o", Ro[:, 2, :], Xo) + to[:, 2]
-        chi_pt = jnp.where(pc_z <= 0.05, jnp.inf, chi_pt)
-        Rl = cam_R[prob.lobs_cam]
-        tl = cam_t[prob.lobs_cam]
-        epl = ln_ep[prob.lobs_ln]
-        rl = jax.vmap(
-            lambda R, t, ep, uv: _ln_residual(
-                cam, jnp.zeros(6), jnp.zeros(6), R, t, ep, uv
-            )
-        )(Rl, tl, epl, prob.lobs_uv)
-        chi_ln = jnp.sum(rl**2, -1) * prob.lobs_w
-        return chi_pt, chi_ln
+    # ---- per-obs residuals & Jacobians (points) ----------------------
+    Ro = cam_R[prob.obs_cam]
+    to = cam_t[prob.obs_cam]
+    Xo = pt_xyz[prob.obs_pt]
+    r, Jc, Jp = jax.vmap(pt_r_and_J)(Ro, to, Xo, prob.obs_uv, prob.obs_ur)
+    chi = jnp.sum(r**2, -1) * prob.obs_w
+    w_rob = jnp.where(use_robust, _huber_w(chi, delta2_pt), 1.0)
+    w = prob.obs_w * w_rob * (in_pt & prob.obs_valid)
 
-    stereo = prob.obs_ur >= 0
-    delta2_pt = jnp.where(stereo, CHI2_STEREO, CHI2_MONO)
+    # block accumulations
+    JcW = Jc * w[:, None, None]
+    U = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
+        jnp.einsum("ori,orj->oij", JcW, Jc)
+    )
+    V = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
+        jnp.einsum("ori,orj->oij", Jp * w[:, None, None], Jp)
+    )
+    bc = jnp.zeros((C, 6)).at[prob.obs_cam].add(
+        -jnp.einsum("ori,or->oi", JcW, r)
+    )
+    bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(
+        -jnp.einsum("ori,or->oi", Jp * w[:, None, None], r)
+    )
+    # A[p, c] = sum_{obs(c,p)} Jc^T W Jp  (P, C, 6, 3)
+    A = jnp.zeros((P, C, 6, 3)).at[prob.obs_pt, prob.obs_cam].add(
+        jnp.einsum("ori,orj->oij", JcW, Jp)
+    )
 
-    def robust_cost(cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, use_robust):
-        chi_pt, chi_ln = chi2_all(cam_R, cam_t, pt_xyz, ln_ep)
+    # ---- lines -------------------------------------------------------
+    Rl = cam_R[prob.lobs_cam]
+    tl = cam_t[prob.lobs_cam]
+    epl = ln_ep[prob.lobs_ln]
+    rl, Jcl, Jl = jax.vmap(ln_r_and_J)(Rl, tl, epl, prob.lobs_uv)
+    chil = jnp.sum(rl**2, -1) * prob.lobs_w
+    wl_rob = jnp.where(use_robust, _huber_w(chil, CHI2_LINE), 1.0)
+    wl = prob.lobs_w * wl_rob * (in_ln & prob.lobs_valid)
+    JclW = Jcl * wl[:, None, None]
+    U = U.at[prob.lobs_cam].add(jnp.einsum("ori,orj->oij", JclW, Jcl))
+    Vl = jnp.zeros((L, 6, 6)).at[prob.lobs_ln].add(
+        jnp.einsum("ori,orj->oij", Jl * wl[:, None, None], Jl)
+    )
+    bc = bc.at[prob.lobs_cam].add(-jnp.einsum("ori,or->oi", JclW, rl))
+    bl = jnp.zeros((L, 6)).at[prob.lobs_ln].add(
+        -jnp.einsum("ori,or->oi", Jl * wl[:, None, None], rl)
+    )
+    Al = jnp.zeros((L, C, 6, 6)).at[prob.lobs_ln, prob.lobs_cam].add(
+        jnp.einsum("ori,orj->oij", JclW, Jl)
+    )
 
-        def rho(chi, d2):
-            chi = jnp.where(jnp.isfinite(chi), chi, 1e9)
-            return jnp.where(
-                use_robust & (chi > d2),
-                2.0 * jnp.sqrt(d2 * jnp.maximum(chi, 0.0)) - d2,
-                chi,
-            )
+    def solve_with_damping(lam):
+        # damped landmark blocks: V + lam*diag(V) + eps*I
+        mkdiag3 = jax.vmap(jnp.diag)
+        Vd = V + lam * mkdiag3(jnp.diagonal(V, axis1=1, axis2=2)) + 1e-6 * jnp.eye(3)
+        Vinv = jnp.linalg.inv(Vd)
+        Vld = Vl + lam * mkdiag3(jnp.diagonal(Vl, axis1=1, axis2=2)) + 1e-6 * jnp.eye(6)
+        Vlinv = jnp.linalg.inv(Vld)
 
-        c1 = jnp.sum(rho(chi_pt, delta2_pt) * (in_pt & prob.obs_valid))
-        c2 = jnp.sum(rho(chi_ln, CHI2_LINE) * (in_ln & prob.lobs_valid))
-        return c1 + c2
-
-    def lm_iteration(state, use_robust):
-        cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, lam = state
-
-        # ---- per-obs residuals & Jacobians (points) ----------------------
-        Ro = cam_R[prob.obs_cam]
-        to = cam_t[prob.obs_cam]
-        Xo = pt_xyz[prob.obs_pt]
-        r, Jc, Jp = jax.vmap(pt_r_and_J)(Ro, to, Xo, prob.obs_uv, prob.obs_ur)
-        chi = jnp.sum(r**2, -1) * prob.obs_w
-        w_rob = jnp.where(use_robust, _huber_w(chi, delta2_pt), 1.0)
-        w = prob.obs_w * w_rob * (in_pt & prob.obs_valid)
-
-        # block accumulations
-        JcW = Jc * w[:, None, None]
-        U = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
-            jnp.einsum("ori,orj->oij", JcW, Jc)
-        )
-        V = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
-            jnp.einsum("ori,orj->oij", Jp * w[:, None, None], Jp)
-        )
-        bc = jnp.zeros((C, 6)).at[prob.obs_cam].add(
-            -jnp.einsum("ori,or->oi", JcW, r)
-        )
-        bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(
-            -jnp.einsum("ori,or->oi", Jp * w[:, None, None], r)
-        )
-        # A[p, c] = sum_{obs(c,p)} Jc^T W Jp  (P, C, 6, 3)
-        A = jnp.zeros((P, C, 6, 3)).at[prob.obs_pt, prob.obs_cam].add(
-            jnp.einsum("ori,orj->oij", JcW, Jp)
+        # Schur complement (points + lines)
+        AV = jnp.einsum("pcij,pjk->pcik", A, Vinv)       # (P, C, 6, 3)
+        S_pt = jnp.einsum("pcik,pdlk->cdil", AV, A)      # (C, C, 6, 6)
+        AVl = jnp.einsum("pcij,pjk->pcik", Al, Vlinv)
+        S_ln = jnp.einsum("pcik,pdlk->cdil", AVl, Al)
+        Ud = U + lam * jax.vmap(jnp.diag)(jnp.diagonal(U, axis1=1, axis2=2))
+        S = -S_pt - S_ln
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(Ud)
+        bt = bc - jnp.einsum("pcik,pk->ci", AV, bp) - jnp.einsum(
+            "pcik,pk->ci", AVl, bl
         )
 
-        # ---- lines -------------------------------------------------------
-        Rl = cam_R[prob.lobs_cam]
-        tl = cam_t[prob.lobs_cam]
-        epl = ln_ep[prob.lobs_ln]
-        rl, Jcl, Jl = jax.vmap(ln_r_and_J)(Rl, tl, epl, prob.lobs_uv)
-        chil = jnp.sum(rl**2, -1) * prob.lobs_w
-        wl_rob = jnp.where(use_robust, _huber_w(chil, CHI2_LINE), 1.0)
-        wl = prob.lobs_w * wl_rob * (in_ln & prob.lobs_valid)
-        JclW = Jcl * wl[:, None, None]
-        U = U.at[prob.lobs_cam].add(jnp.einsum("ori,orj->oij", JclW, Jcl))
-        Vl = jnp.zeros((L, 6, 6)).at[prob.lobs_ln].add(
-            jnp.einsum("ori,orj->oij", Jl * wl[:, None, None], Jl)
+        # fixed / invalid cameras: identity rows
+        free = (~prob.cam_fixed) & prob.cam_valid
+        mask_c = free.astype(jnp.float32)
+        S = S * mask_c[:, None, None, None] * mask_c[None, :, None, None]
+        S = S.at[jnp.arange(C), jnp.arange(C)].add(
+            jnp.eye(6)[None] * (1.0 - mask_c)[:, None, None]
         )
-        bc = bc.at[prob.lobs_cam].add(-jnp.einsum("ori,or->oi", JclW, rl))
-        bl = jnp.zeros((L, 6)).at[prob.lobs_ln].add(
-            -jnp.einsum("ori,or->oi", Jl * wl[:, None, None], rl)
+        bt = bt * mask_c[:, None]
+
+        Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
+        xi = jnp.linalg.solve(
+            Sd + 1e-8 * jnp.eye(6 * C), bt.reshape(-1)
+        ).reshape(C, 6)
+
+        # back-substitute landmarks
+        rhs_p = bp - jnp.einsum("pcik,ci->pk", A, xi)
+        dX = jnp.einsum("pij,pj->pi", Vinv, rhs_p)
+        rhs_l = bl - jnp.einsum("pcik,ci->pk", Al, xi)
+        dE = jnp.einsum("pij,pj->pi", Vlinv, rhs_l)
+
+        Rn, tn = jax.vmap(se3.left_update)(xi, cam_R, cam_t)
+        Rn = jax.vmap(se3.orthonormalize)(Rn)
+        # freeze fixed cameras / gate landmark updates on observation
+        keep = (prob.cam_fixed | ~prob.cam_valid)[:, None]
+        tn = jnp.where(keep, cam_t, tn)
+        Rn = jnp.where(keep[:, :, None], cam_R, Rn)
+        has_obs_p = jnp.diagonal(V, axis1=1, axis2=2).sum(-1) > 1e-9
+        Xn = jnp.where((prob.pt_valid & has_obs_p)[:, None], pt_xyz + dX, pt_xyz)
+        has_obs_l = jnp.diagonal(Vl, axis1=1, axis2=2).sum(-1) > 1e-9
+        En = jnp.where(
+            (prob.ln_valid & has_obs_l)[:, None, None],
+            ln_ep + dE.reshape(L, 2, 3),
+            ln_ep,
         )
-        Al = jnp.zeros((L, C, 6, 6)).at[prob.lobs_ln, prob.lobs_cam].add(
-            jnp.einsum("ori,orj->oij", JclW, Jl)
-        )
+        return Rn, tn, Xn, En
 
-        def solve_with_damping(lam):
-            # damped landmark blocks: V + lam*diag(V) + eps*I
-            mkdiag3 = jax.vmap(jnp.diag)
-            Vd = V + lam * mkdiag3(jnp.diagonal(V, axis1=1, axis2=2)) + 1e-6 * jnp.eye(3)
-            Vinv = jnp.linalg.inv(Vd)
-            Vld = Vl + lam * mkdiag3(jnp.diagonal(Vl, axis1=1, axis2=2)) + 1e-6 * jnp.eye(6)
-            Vlinv = jnp.linalg.inv(Vld)
+    cost0 = _robust_cost(cam, prob, cam_R, cam_t, pt_xyz, ln_ep, in_pt,
+                         in_ln, use_robust)
+    Rn, tn, Xn, En = solve_with_damping(lam)
+    cost1 = _robust_cost(cam, prob, Rn, tn, Xn, En, in_pt, in_ln, use_robust)
+    accept = (cost1 < cost0) & jnp.isfinite(cost1)
+    cam_R = jnp.where(accept, Rn, cam_R)
+    cam_t = jnp.where(accept, tn, cam_t)
+    pt_xyz = jnp.where(accept, Xn, pt_xyz)
+    ln_ep = jnp.where(accept, En, ln_ep)
+    lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-9, 1e6)
+    return (cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, lam)
 
-            # Schur complement (points + lines)
-            AV = jnp.einsum("pcij,pjk->pcik", A, Vinv)       # (P, C, 6, 3)
-            S_pt = jnp.einsum("pcik,pdlk->cdil", AV, A)      # (C, C, 6, 6)
-            AVl = jnp.einsum("pcij,pjk->pcik", Al, Vlinv)
-            S_ln = jnp.einsum("pcik,pdlk->cdil", AVl, Al)
-            Ud = U + lam * jax.vmap(jnp.diag)(jnp.diagonal(U, axis1=1, axis2=2))
-            S = -S_pt - S_ln
-            S = S.at[jnp.arange(C), jnp.arange(C)].add(Ud)
-            bt = bc - jnp.einsum("pcik,pk->ci", AV, bp) - jnp.einsum(
-                "pcik,pk->ci", AVl, bl
-            )
 
-            # fixed / invalid cameras: identity rows
-            free = (~prob.cam_fixed) & prob.cam_valid
-            mask_c = free.astype(jnp.float32)
-            S = S * mask_c[:, None, None, None] * mask_c[None, :, None, None]
-            S = S.at[jnp.arange(C), jnp.arange(C)].add(
-                jnp.eye(6)[None] * (1.0 - mask_c)[:, None, None]
-            )
-            bt = bt * mask_c[:, None]
-
-            Sd = S.transpose(0, 2, 1, 3).reshape(6 * C, 6 * C)
-            xi = jnp.linalg.solve(
-                Sd + 1e-8 * jnp.eye(6 * C), bt.reshape(-1)
-            ).reshape(C, 6)
-
-            # back-substitute landmarks
-            rhs_p = bp - jnp.einsum("pcik,ci->pk", A, xi)
-            dX = jnp.einsum("pij,pj->pi", Vinv, rhs_p)
-            rhs_l = bl - jnp.einsum("pcik,ci->pk", Al, xi)
-            dE = jnp.einsum("pij,pj->pi", Vlinv, rhs_l)
-
-            Rn, tn = jax.vmap(se3.left_update)(xi, cam_R, cam_t)
-            Rn = jax.vmap(se3.orthonormalize)(Rn)
-            # freeze fixed cameras / gate landmark updates on observation
-            keep = (prob.cam_fixed | ~prob.cam_valid)[:, None]
-            tn = jnp.where(keep, cam_t, tn)
-            Rn = jnp.where(keep[:, :, None], cam_R, Rn)
-            has_obs_p = jnp.diagonal(V, axis1=1, axis2=2).sum(-1) > 1e-9
-            Xn = jnp.where((prob.pt_valid & has_obs_p)[:, None], pt_xyz + dX, pt_xyz)
-            has_obs_l = jnp.diagonal(Vl, axis1=1, axis2=2).sum(-1) > 1e-9
-            En = jnp.where(
-                (prob.ln_valid & has_obs_l)[:, None, None],
-                ln_ep + dE.reshape(L, 2, 3),
-                ln_ep,
-            )
-            return Rn, tn, Xn, En
-
-        cost0 = robust_cost(cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, use_robust)
-        Rn, tn, Xn, En = solve_with_damping(lam)
-        cost1 = robust_cost(Rn, tn, Xn, En, in_pt, in_ln, use_robust)
-        accept = (cost1 < cost0) & jnp.isfinite(cost1)
-        pick = lambda a, b: jnp.where(accept, a, b)
-        cam_R = jnp.where(accept, Rn, cam_R)
-        cam_t = jnp.where(accept, tn, cam_t)
-        pt_xyz = jnp.where(accept, Xn, pt_xyz)
-        ln_ep = jnp.where(accept, En, ln_ep)
-        lam = jnp.clip(jnp.where(accept, lam * 0.3, lam * 5.0), 1e-9, 1e6)
-        return (cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, lam)
-
-    state = (
+def ba_state_init(prob: BAProblem):
+    """Initial LM state for the stepped API."""
+    return (
         prob.cam_R, prob.cam_t, prob.pt_xyz, prob.ln_ep,
         prob.obs_valid, prob.lobs_valid, jnp.float32(1e-4),
     )
-    for _ in range(iters1):
-        state = lm_iteration(state, robust)
-    # reclassify outliers (Optimizer.cc:806-860)
+
+
+@functools.partial(jax.jit, static_argnames=("cam", "robust"))
+def ba_iterate(cam, prob: BAProblem, state, robust: bool = True):
+    """ONE LM iteration as its own XLA program. The stepped API exists for
+    the shared-transport deployment reality: a monolithic 15-iteration BA
+    monopolizes the device for hundreds of ms while the tracker's per-frame
+    dispatches queue behind it. Dispatching iterations one at a time lets
+    tracking interleave, and the host can abort between iterations — the
+    reference's interruptible BA (mbAbortBA, Optimizer.cc:682,1007)."""
+    return _lm_iteration(cam, prob, state, robust)
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def ba_reclassify(cam, prob: BAProblem, state):
+    """chi2 inlier reclassification between the two phases
+    (Optimizer.cc:806-860)."""
     cam_R, cam_t, pt_xyz, ln_ep, _, _, lam = state
-    chi_pt, chi_ln = chi2_all(cam_R, cam_t, pt_xyz, ln_ep)
-    in_pt = (chi_pt <= delta2_pt) & prob.obs_valid
+    chi_pt, chi_ln = _chi2_all(cam, prob, cam_R, cam_t, pt_xyz, ln_ep)
+    in_pt = (chi_pt <= _delta2_pt(prob)) & prob.obs_valid
     in_ln = (chi_ln <= CHI2_LINE) & prob.lobs_valid
-    state = (cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, lam)
-    for _ in range(iters2):
-        state = lm_iteration(state, robust)
-    cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, lam = state
-    chi_pt, chi_ln = chi2_all(cam_R, cam_t, pt_xyz, ln_ep)
-    in_pt = (chi_pt <= delta2_pt) & prob.obs_valid
+    return (cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, lam)
+
+
+@functools.partial(jax.jit, static_argnames=("cam",))
+def ba_finalize(cam, prob: BAProblem, state) -> BAResult:
+    """Final chi2 classification + cost."""
+    cam_R, cam_t, pt_xyz, ln_ep, _, _, lam = state
+    chi_pt, chi_ln = _chi2_all(cam, prob, cam_R, cam_t, pt_xyz, ln_ep)
+    in_pt = (chi_pt <= _delta2_pt(prob)) & prob.obs_valid
     in_ln = (chi_ln <= CHI2_LINE) & prob.lobs_valid
-    cost = robust_cost(cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, False)
+    cost = _robust_cost(cam, prob, cam_R, cam_t, pt_xyz, ln_ep, in_pt,
+                        in_ln, False)
     return BAResult(cam_R, cam_t, pt_xyz, ln_ep, in_pt, in_ln, cost)
+
+
+def bundle_adjust_stepped(cam, prob: BAProblem, iters1: int = 5,
+                          iters2: int = 10, robust: bool = True,
+                          should_abort=None) -> BAResult:
+    """Two-phase LM BA dispatched one iteration per XLA program (see
+    ba_iterate). ``should_abort()`` is polled between iterations; on abort
+    the current state is finalized early (mbAbortBA semantics)."""
+    state = ba_state_init(prob)
+    aborted = False
+    for _ in range(iters1):
+        state = ba_iterate(cam, prob, state, robust)
+        if should_abort is not None and should_abort():
+            aborted = True
+            break
+    if not aborted:
+        state = ba_reclassify(cam, prob, state)
+        for _ in range(iters2):
+            state = ba_iterate(cam, prob, state, robust)
+            if should_abort is not None and should_abort():
+                break
+    return ba_finalize(cam, prob, state)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cam", "iters1", "iters2", "robust")
+)
+def bundle_adjust(
+    cam,
+    prob: BAProblem,
+    iters1: int = 5,
+    iters2: int = 10,
+    robust: bool = True,
+) -> BAResult:
+    """Two-phase LM BA with chi2 reclassification between phases, as ONE
+    XLA program (lax.scan over the iteration — unrolling 15 copies made
+    trace+compile take over a minute)."""
+    state = ba_state_init(prob)
+
+    def run_phase(state, n):
+        return jax.lax.scan(
+            lambda s, _: (_lm_iteration(cam, prob, s, robust), None),
+            state, None, length=n,
+        )[0]
+
+    state = run_phase(state, iters1)
+    state = ba_reclassify(cam, prob, state)
+    state = run_phase(state, iters2)
+    return ba_finalize(cam, prob, state)
