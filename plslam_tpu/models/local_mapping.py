@@ -116,6 +116,18 @@ class LocalMapper:
         # polled between BA iterations (mbAbortBA, LocalMapping.cc:1107)
         self.should_abort = None
 
+    @staticmethod
+    def _bucket(n: int, lo: int, hi: int) -> int:
+        """Next power-of-two padding bucket in [lo, hi]. Device programs are
+        shape-specialized; padding to worst-case caps makes every mapper
+        dispatch pay big-map cost while the map is small (the dominant
+        frame-loop interference early in a sequence). A handful of buckets
+        means a handful of compiles, all persisted in the XLA cache."""
+        b = lo
+        while b < min(n, hi):
+            b *= 2
+        return min(b, hi)
+
     def on_new_landmarks(self, kf: int, pt_ids, ln_ids):
         for p in pt_ids:
             if p >= 0:
@@ -200,7 +212,7 @@ class LocalMapper:
         if len(cand) > 0:
             cand = cand[: self._fuse_cap]
             host = m.kf_frames[kf]
-            C = self._fuse_cap
+            C = self._bucket(len(cand), 512, self._fuse_cap)
             p3d = np.zeros((C, 3), np.float32)
             desc = np.zeros((C, 32), np.uint8)
             mind = np.zeros(C, np.float32)
@@ -254,11 +266,11 @@ class LocalMapper:
         own_pids = own_pids[m.pt_valid[own_pids]][: 2048]
         if len(own_pids) == 0 or not ext:
             return
-        # pad the target batch to a FIXED size: a varying keyframe count
+        # pad the target batch to a BUCKETED size: a varying keyframe count
         # would retrace/recompile the vmapped kernel per distinct K
-        K_FIX = 10
-        targets = ext[:K_FIX]
+        targets = ext[:10]
         K = len(targets)
+        K_FIX = self._bucket(K, 2, 10)
         n_kp = self.cfg.orb.max_keypoints
         pad_t = targets + [targets[-1]] * (K_FIX - K)
         kxy = np.stack([m.kf_frames[o].kp_xy_un for o in pad_t])
@@ -268,7 +280,7 @@ class LocalMapper:
         kval[K:] = False
         Rs = np.stack([m.kf_R[o] for o in pad_t])
         ts = np.stack([m.kf_t[o] for o in pad_t])
-        C2 = 2048
+        C2 = self._bucket(len(own_pids), 512, 2048)
         p3d2 = np.zeros((C2, 3), np.float32)
         desc2 = np.zeros((C2, 32), np.uint8)
         mind2 = np.zeros(C2, np.float32)
@@ -342,7 +354,7 @@ class LocalMapper:
         locked = True
         mc = self.cfg.mapping
         window = window or mc.local_ba_window
-        C = window + mc.local_ba_fixed_cap
+        C_max = window + mc.local_ba_fixed_cap
         P = mc.local_ba_point_cap
         O = mc.local_ba_obs_cap
         L = 256
@@ -373,10 +385,9 @@ class LocalMapper:
         cams = local + fixed[: mc.local_ba_fixed_cap]
         cam_index = {c: i for i, c in enumerate(cams)}
         nC = len(cams)
-
-        prob = local_ba.make_problem(C, P, O, L, OL)
-        cam_R = np.array(prob.cam_R)
-        cam_t = np.array(prob.cam_t)
+        C = self._bucket(nC, 8, C_max)
+        cam_R = np.broadcast_to(np.eye(3, dtype=np.float32), (C, 3, 3)).copy()
+        cam_t = np.zeros((C, 3), np.float32)
         cam_fixed = np.zeros(C, bool)
         cam_valid = np.zeros(C, bool)
         for i, c in enumerate(cams):
@@ -417,6 +428,15 @@ class LocalMapper:
         if len(oc) < 20:
             self.lock.release()
             return
+
+        # pad every axis to its power-of-two bucket of the ACTUAL problem
+        # size — the worst-case caps above are 10-30x oversized while the
+        # map is young, and BA device time interferes with the frame loop
+        P = self._bucket(len(pids), 512, P)
+        O = self._bucket(len(oc), 2048, O)
+        L = self._bucket(len(lids), 64, L)
+        OL = self._bucket(len(lc), 256, OL)
+        prob = local_ba.make_problem(C, P, O, L, OL)
 
         def pad(arr, n, shape=(), dtype=np.float32):
             a = np.zeros((n,) + shape, dtype)
