@@ -52,7 +52,10 @@ class LineFeatures(NamedTuple):
 _P = 12288         # sparse strong-gradient pixel budget (Hough voting)
 _P_RUN = 8192      # subset used for per-candidate support/run finding
 _K_PER_BIN = 8     # rho peaks kept per orientation bin
-_S_SUP = 1024      # strongest supports kept per candidate (approx_max_k)
+_S_SUP = 512       # strongest supports kept per candidate (approx_max_k);
+                   # only delimits run extent — the PCA fit uses all _P_RUN
+                   # supports — and 512 samples resolve gaps to ~1.5 px on a
+                   # full-diagonal line, well under the 2x gap tolerance
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "hw"))

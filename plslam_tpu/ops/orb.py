@@ -144,23 +144,21 @@ def ic_angles(img: jax.Array, ys: jax.Array, xs: jax.Array) -> jax.Array:
     return jnp.where(ang < 0, ang + 360.0, ang)
 
 
-def brief_descriptors(
-    blurred: jax.Array, ys: jax.Array, xs: jax.Array, angles_deg: jax.Array
-) -> jax.Array:
-    """Rotated-BRIEF 256-bit descriptors, OpenCV byte layout: byte j bit b
-    (LSB-first) encodes pattern pair 8j+b; bit set iff I(p1) < I(p2)."""
-    h, w = blurred.shape
+def _rotated_offsets(angles_deg: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """OpenCV GET_VALUE rotation: x' = round(px·a − py·b), y' = round(px·b +
+    py·a) for every pattern point (ORBextractor.cc:108-144)."""
     theta = jnp.radians(angles_deg)
     a, b = jnp.cos(theta), jnp.sin(theta)  # (N,)
     px = jnp.asarray(_PATTERN[:, 0], jnp.float32)  # (512,)
     py = jnp.asarray(_PATTERN[:, 1], jnp.float32)
-    # OpenCV GET_VALUE: x' = round(px*a - py*b), y' = round(px*b + py*a)
     rx = jnp.round(px[None, :] * a[:, None] - py[None, :] * b[:, None]).astype(jnp.int32)
     ry = jnp.round(px[None, :] * b[:, None] + py[None, :] * a[:, None]).astype(jnp.int32)
-    yy = jnp.clip(ys[:, None] + ry, 0, h - 1)
-    xx = jnp.clip(xs[:, None] + rx, 0, w - 1)
-    # linearized 1D gather: lowers ~1.4x faster than 2D gather on TPU
-    vals = blurred.ravel()[yy * w + xx]  # (N, 512)
+    return rx, ry
+
+
+def _pack_bits(vals: jax.Array) -> jax.Array:
+    """(N, 512) sampled values → (N, 32) uint8, OpenCV byte layout: byte j
+    bit b (LSB-first) encodes pattern pair 8j+b; bit set iff I(p1) < I(p2)."""
     t0 = vals[:, 0::2]
     t1 = vals[:, 1::2]
     bits = (t0 < t1).astype(jnp.uint8)  # (N, 256)
@@ -168,6 +166,63 @@ def brief_descriptors(
     return jnp.sum(
         bits.reshape(-1, 32, 8) * weights[None, None, :], axis=-1, dtype=jnp.uint8
     )
+
+
+# max rotated pattern offset: the 512 learned points lie within radius
+# |(px,py)| <= 13*sqrt(2) = 18.4 of the keypoint, rounded <= 19
+_BRIEF_R = 19
+
+
+def _brief_gather(blurred, ys, xs, angles_deg) -> jax.Array:
+    """Direct per-sample gather — fast on CPU, slow on TPU (512 random
+    gathers per keypoint)."""
+    h, w = blurred.shape
+    rx, ry = _rotated_offsets(angles_deg)
+    yy = jnp.clip(ys[:, None] + ry, 0, h - 1)
+    xx = jnp.clip(xs[:, None] + rx, 0, w - 1)
+    # linearized 1D gather: lowers ~1.4x faster than 2D gather on TPU
+    vals = blurred.ravel()[yy * w + xx]  # (N, 512)
+    return _pack_bits(vals)
+
+
+def _brief_onehot(blurred, ys, xs, angles_deg) -> jax.Array:
+    """MXU formulation for TPU (~7x faster than the gather lowering):
+    structured row gather → per-keypoint patch via column one-hot matmul →
+    rotated sampling via row one-hot matmul + masked column reduce. Values
+    are rounded to integers first so bf16 one-hot products select exactly
+    (and match OpenCV, which compares uint8-blurred pixels)."""
+    h, w = blurred.shape
+    R = _BRIEF_R
+    P = 2 * R + 1
+    blur_i = jnp.round(blurred)
+    rx, ry = _rotated_offsets(angles_deg)
+    rx = rx + R
+    ry = ry + R
+    rows = jnp.clip(ys[:, None] + jnp.arange(-R, R + 1)[None, :], 0, h - 1)
+    rowg = blur_i[rows]  # (N, P, w): contiguous-row gather, cheap
+    cols = jnp.clip(xs[:, None] + jnp.arange(-R, R + 1)[None, :], 0, w - 1)
+    colOH = (cols[:, None, :] == jnp.arange(w)[None, :, None]).astype(jnp.bfloat16)
+    patches = jnp.einsum(
+        "nrw,nwc->nrc", rowg.astype(jnp.bfloat16), colOH,
+        preferred_element_type=jnp.float32,
+    )  # (N, P, P)
+    rOH = (ry[:, :, None] == jnp.arange(P)[None, None, :]).astype(jnp.bfloat16)
+    T = jnp.einsum(
+        "njr,nrc->njc", rOH, patches.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )  # (N, 512, P)
+    cOH = rx[:, :, None] == jnp.arange(P)[None, None, :]
+    vals = jnp.sum(jnp.where(cOH, T, 0.0), axis=-1)  # (N, 512)
+    return _pack_bits(vals)
+
+
+def brief_descriptors(
+    blurred: jax.Array, ys: jax.Array, xs: jax.Array, angles_deg: jax.Array
+) -> jax.Array:
+    """Rotated-BRIEF 256-bit descriptors (OpenCV-compatible bytes)."""
+    if jax.default_backend() == "tpu":
+        return _brief_onehot(blurred, ys, xs, angles_deg)
+    return _brief_gather(blurred, ys, xs, angles_deg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "hw"))
