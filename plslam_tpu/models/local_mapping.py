@@ -16,9 +16,12 @@ Covers (/root/reference/src/LocalMapping.cc):
   local BA via optim.local_ba (the reference's local BA is points-only;
   lines join here as its dead code intended).
 
-KeyFrame culling (:1224-1321) and epipolar triangulation of extra points
-(:346-916) are tracked in ROADMAP (RGB-D creates landmarks from depth, so
-triangulation is an accuracy bonus, not a dependency).
+- KeyFrameCulling (:1224-1321): retire keyframes whose close map points are
+  >=90% redundant (seen by >=3 other KFs at same/finer scale).
+
+Epipolar triangulation of extra points (:346-916) beyond the depth range is
+tracked in ROADMAP (RGB-D creates landmarks from depth, so triangulation is
+an accuracy bonus, not a dependency).
 """
 
 from __future__ import annotations
@@ -100,10 +103,12 @@ def fuse_multi_step(cfg, kp_xy_un, kp_octave, kp_desc, kp_valid,
 
 
 class LocalMapper:
-    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, enable_ba: bool = True):
+    def __init__(self, cfg: SlamConfig, slam_map: SlamMap, enable_ba: bool = True,
+                 kfdb=None):
         self.cfg = cfg
         self.map = slam_map
         self.enable_ba = enable_ba
+        self.kfdb = kfdb
         self.recent_points: list[tuple[int, int]] = []  # (pid, created_at_kf)
         self.recent_lines: list[tuple[int, int]] = []
         self._fuse_cap = 4096
@@ -144,6 +149,8 @@ class LocalMapper:
         self.fuse(kf)
         if self.enable_ba and self.map.n_kf > 2:
             self.run_local_ba(kf)
+        with self.lock:
+            self.cull_keyframes(kf)
 
     # ------------------------------------------------------------- culling
     def cull_points(self, current_kf: int):
@@ -183,6 +190,53 @@ class LocalMapper:
             else:
                 keep.append((lid, born))
         self.recent_lines = keep
+
+    def cull_keyframes(self, kf: int):
+        """KeyFrameCulling (LocalMapping.cc:1224-1321): retire a covisible
+        keyframe when >=90% of its close map points are observed by >=3
+        other keyframes at the same or finer scale. The depth gate
+        (0 < d <= th_depth) is the reference's RGB-D branch; KF0 and the
+        current KF are never culled."""
+        m = self.map
+        th_obs = 3
+        th_depth = self.cfg.tracking.th_depth
+        for ckf in m.covisible_keyframes(kf):
+            if ckf == 0 or ckf == kf or not m.kf_valid[ckf]:
+                continue
+            host = m.kf_frames[ckf]
+            if host is None:
+                continue
+            row = m.kf_pt_idx[ckf]
+            feats = np.nonzero(row >= 0)[0]
+            n_pts = 0
+            n_red = 0
+            for feat in feats:
+                pid = int(row[feat])
+                if not m.pt_valid[pid]:
+                    continue
+                d = host.kp_depth[feat]
+                if d <= 0 or d > th_depth:
+                    continue
+                obs = m.pt_obs[pid]
+                if len(obs) <= th_obs:
+                    continue
+                n_pts += 1
+                lvl = int(host.kp_octave[feat]) + 1
+                cnt = 0
+                for okf, ofeat in obs.items():
+                    if okf == ckf:
+                        continue
+                    of = m.kf_frames[okf]
+                    if of is not None and int(of.kp_octave[ofeat]) <= lvl:
+                        cnt += 1
+                        if cnt >= th_obs:
+                            break
+                if cnt >= th_obs:
+                    n_red += 1
+            if n_pts > 0 and n_red > self.cfg.mapping.kf_culling_redundancy * n_pts:
+                m.erase_keyframe(ckf)
+                if self.kfdb is not None:
+                    self.kfdb.erase(ckf)
 
     # --------------------------------------------------------------- fusion
     def fuse(self, kf: int):

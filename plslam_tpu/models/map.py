@@ -167,6 +167,42 @@ class SlamMap:
         self.n_kf += 1
         return kf
 
+    def erase_keyframe(self, kf: int):
+        """KeyFrame::SetBadFlag (KeyFrame.cc:526-618): detach every
+        observation and retire the row. KF0 is never erased. The reference's
+        spanning-tree reparenting is implicit here: pose-graph edges are
+        rebuilt from surviving keyframes, and landmarks whose reference
+        (first) keyframe dies are re-anchored to another observer so loop
+        corrections keep propagating to them."""
+        if kf == 0 or not self.kf_valid[kf]:
+            return
+        row = self.kf_pt_idx[kf]
+        for feat in np.nonzero(row >= 0)[0]:
+            pid = int(row[feat])
+            obs = self.pt_obs[pid]
+            if obs.get(kf) == int(feat):
+                obs.pop(kf)
+                if self.pt_valid[pid]:
+                    if not obs:
+                        self.erase_point(pid)
+                    elif self.pt_first_kf[pid] == kf:
+                        self.pt_first_kf[pid] = min(obs)
+        self.kf_pt_idx[kf] = -1
+        lrow = self.kf_ln_idx[kf]
+        for feat in np.nonzero(lrow >= 0)[0]:
+            lid = int(lrow[feat])
+            obs = self.ln_obs[lid]
+            if obs.get(kf) == int(feat):
+                obs.pop(kf)
+                if self.ln_valid[lid]:
+                    if not obs:
+                        self.erase_line(lid)
+                    elif self.ln_first_kf[lid] == kf:
+                        self.ln_first_kf[lid] = min(obs)
+        self.kf_ln_idx[kf] = -1
+        self.kf_valid[kf] = False
+        self.kf_frames[kf] = None  # release the feature snapshot
+
     def kf_camera_center(self, kf: int) -> np.ndarray:
         return -self.kf_R[kf].T @ self.kf_t[kf]
 

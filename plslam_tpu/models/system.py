@@ -51,7 +51,8 @@ class System:
         self.map = SlamMap(cfg)
         self.kfdb = KeyFrameDatabase(self.voc, cfg.capacity.max_keyframes)
         self.local_mapper = LocalMapper(cfg, self.map,
-                                        enable_ba=not localization_only)
+                                        enable_ba=not localization_only,
+                                        kfdb=self.kfdb)
         if async_mapping:
             from .async_mapping import AsyncLocalMapper
 

@@ -271,11 +271,10 @@ class FusedOut(NamedTuple):
     lm_visible: jax.Array    # (LM,)
     lml_feat: jax.Array      # (LL,)
     lml_inlier: jax.Array
-    n_motion_matches: jax.Array
-    n_motion_inliers: jax.Array
-    n_local_inliers: jax.Array
-    tracked_close: jax.Array
-    creatable_close: jax.Array
+    stats: jax.Array         # (5,) int32: [n_motion_matches,
+                             # n_motion_inliers, n_local_inliers,
+                             # tracked_close, creatable_close] — packed so
+                             # the per-frame result fetch is few transfers
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -401,9 +400,10 @@ def fused_track_step(
         lm_feat=jnp.where(ok_slot, lo.pt_idx, -1), lm_inlier=ok_slot,
         lm_visible=lo.pt_visible,
         lml_feat=jnp.where(lok_slot, lo.ln_idx, -1), lml_inlier=lok_slot,
-        n_motion_matches=mo.n_pt_matches, n_motion_inliers=mo.n_inliers,
-        n_local_inliers=lo.n_inliers,
-        tracked_close=tracked_close, creatable_close=creatable_close,
+        stats=jnp.stack([
+            mo.n_pt_matches.astype(jnp.int32), mo.n_inliers.astype(jnp.int32),
+            lo.n_inliers.astype(jnp.int32), tracked_close, creatable_close,
+        ]),
     )
 
 
@@ -565,9 +565,7 @@ class Tracker:
         self._ln_remap_np = None
         # start the host copies now; they complete during this frame's compute
         for a in (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
-                  out.lml_feat, out.lml_inlier, out.n_motion_matches,
-                  out.n_motion_inliers, out.n_local_inliers,
-                  out.tracked_close, out.creatable_close):
+                  out.lml_feat, out.lml_inlier, out.stats):
             a.copy_to_host_async()
         # prefetch the frame snapshot too: if this frame becomes a keyframe,
         # _create_new_keyframe device_gets the whole FrameData — a fresh
@@ -694,12 +692,11 @@ class Tracker:
         ll_ids = pending["ll_ids"]
         # the async copies were started at dispatch; this get is ~free
         (R, t, lm_feat, lm_inlier, lm_vis, lml_feat, lml_inlier,
-         n_mm, n_mi, n_li, tc, cc) = jax.device_get(
+         stats) = jax.device_get(
             (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
-             out.lml_feat, out.lml_inlier, out.n_motion_matches,
-             out.n_motion_inliers, out.n_local_inliers,
-             out.tracked_close, out.creatable_close)
+             out.lml_feat, out.lml_inlier, out.stats)
         )
+        n_mm, n_mi, n_li, tc, cc = (int(v) for v in stats)
         self.debug = {
             "motion_matches": int(n_mm), "motion_inliers": int(n_mi),
             "local_inliers": int(n_li), "local_points": len(lp_ids),

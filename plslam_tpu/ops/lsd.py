@@ -50,7 +50,11 @@ class LineFeatures(NamedTuple):
 
 # static working-set sizes
 _P = 12288         # sparse strong-gradient pixel budget (Hough voting)
-_P_RUN = 8192      # subset used for per-candidate support/run finding
+_P_RUN = 4096      # subset used for per-candidate support/run finding
+                   # (8192 costs +0.35 ms/frame on v5e with no quality gain
+                   # on the lsd_quality harness — stability is actually
+                   # better at 4096 because weaker texture pixels stop
+                   # perturbing the PCA fit)
 _K_PER_BIN = 8     # rho peaks kept per orientation bin
 _S_SUP = 512       # strongest supports kept per candidate (approx_max_k);
                    # only delimits run extent — the PCA fit uses all _P_RUN
