@@ -64,13 +64,20 @@ def _sample_depth(depth: jax.Array, xy: jax.Array, hw: tuple[int, int]) -> jax.A
     return depth[y, x]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig) -> FrameData:
+@functools.partial(jax.jit, static_argnames=("cfg", "wire"))
+def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig,
+                wire: bool = False) -> FrameData:
     cam = cfg.camera
     hw = (cam.height, cam.width)
     # Compact wire formats: the networked-TPU transport falls off a cliff for
     # >1 MB host->device copies, so callers ship gray as uint8 and depth as
     # TUM-quantized uint16 (metres * depth_map_factor); both convert here.
+    # wire=True additionally means the rows arrive horizontally differenced
+    # (PNG Sub filter — the transport compresses, and gradient rows have much
+    # lower entropy than pixels); undo with an exact mod-2^k cumulative sum.
+    if wire:
+        gray = jnp.cumsum(gray.astype(jnp.uint32), axis=1).astype(jnp.uint8)
+        depth = jnp.cumsum(depth.astype(jnp.uint32), axis=1).astype(jnp.uint16)
     if gray.dtype == jnp.uint8:
         gray = gray.astype(jnp.float32)
     if depth.dtype == jnp.uint16:

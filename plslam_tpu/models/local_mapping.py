@@ -265,7 +265,7 @@ class LocalMapper:
                         np.int32)
         if len(cand) > 0:
             cand = cand[: self._fuse_cap]
-            host = m.kf_frames[kf]
+            fdv = m.device_frame(kf)  # features stay in HBM — no re-upload
             C = self._bucket(len(cand), 512, self._fuse_cap)
             p3d = np.zeros((C, 3), np.float32)
             desc = np.zeros((C, 32), np.uint8)
@@ -280,14 +280,13 @@ class LocalMapper:
             valid[:k] = True
             idx, ok = fuse_step(
                 self.cfg,
-                jnp.asarray(host.kp_xy_un), jnp.asarray(host.kp_octave),
-                jnp.asarray(host.kp_desc), jnp.asarray(host.kp_valid),
+                fdv.kp_xy_un, fdv.kp_octave, fdv.kp_desc, fdv.kp_valid,
                 jnp.asarray(p3d), jnp.asarray(desc), jnp.asarray(mind),
                 jnp.asarray(maxd), jnp.asarray(valid),
                 jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
             )
-            idx = np.array(idx)
-            ok = np.array(ok)
+            idx, ok = jax.device_get((idx, ok))  # ONE sync round trip
+            ok = ok.copy()
             ok[k:] = False
             for i in np.nonzero(ok)[0]:
                 pid = int(cand[i])
@@ -325,13 +324,15 @@ class LocalMapper:
         targets = ext[:10]
         K = len(targets)
         K_FIX = self._bucket(K, 2, 10)
-        n_kp = self.cfg.orb.max_keypoints
         pad_t = targets + [targets[-1]] * (K_FIX - K)
-        kxy = np.stack([m.kf_frames[o].kp_xy_un for o in pad_t])
-        koct = np.stack([m.kf_frames[o].kp_octave for o in pad_t])
-        kdesc = np.stack([m.kf_frames[o].kp_desc for o in pad_t])
-        kval = np.stack([m.kf_frames[o].kp_valid for o in pad_t])
-        kval[K:] = False
+        dev = [m.device_frame(o) for o in pad_t]  # HBM-resident snapshots
+        kxy = jnp.stack([f.kp_xy_un for f in dev])
+        koct = jnp.stack([f.kp_octave for f in dev])
+        kdesc = jnp.stack([f.kp_desc for f in dev])
+        kval = jnp.stack(
+            [f.kp_valid if i < K else jnp.zeros_like(f.kp_valid)
+             for i, f in enumerate(dev)]
+        )
         Rs = np.stack([m.kf_R[o] for o in pad_t])
         ts = np.stack([m.kf_t[o] for o in pad_t])
         C2 = self._bucket(len(own_pids), 512, 2048)
@@ -348,15 +349,14 @@ class LocalMapper:
         valid2[:k2] = True
         idx2, ok2 = fuse_multi_step(
             self.cfg,
-            jnp.asarray(kxy), jnp.asarray(koct), jnp.asarray(kdesc),
-            jnp.asarray(kval),
+            kxy, koct, kdesc, kval,
             jnp.asarray(p3d2), jnp.asarray(desc2), jnp.asarray(mind2),
             jnp.asarray(maxd2), jnp.asarray(valid2),
             jnp.asarray(Rs), jnp.asarray(ts),
             radius_px=5.0,
         )
-        idx2 = np.array(idx2)
-        ok2 = np.array(ok2)
+        idx2, ok2 = jax.device_get((idx2, ok2))  # ONE sync round trip
+        ok2 = ok2.copy()
         ok2[:, k2:] = False
         for ki, okf in enumerate(targets):
             for i in np.nonzero(ok2[ki])[0]:

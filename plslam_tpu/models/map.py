@@ -60,6 +60,8 @@ class SlamMap:
         self.kf_frame_id = np.full(cap.max_keyframes, -1, np.int64)
         self.kf_timestamp = np.zeros(cap.max_keyframes, np.float64)
         self.kf_frames: list[HostFrame | None] = [None] * cap.max_keyframes
+        # device-resident feature snapshots (see device_frame)
+        self.kf_frames_dev: list = [None] * cap.max_keyframes
         self.kf_pt_idx = np.full((cap.max_keyframes, n_kp), -1, np.int32)
         self.kf_ln_idx = np.full((cap.max_keyframes, n_ln), -1, np.int32)
         self.n_kf = 0
@@ -154,7 +156,13 @@ class SlamMap:
         self.kf_ln_idx[kf, feat] = lid
 
     # ------------------------------------------------------------- keyframes
-    def add_keyframe(self, host_frame: HostFrame, R, t, frame_id, timestamp) -> int:
+    def add_keyframe(self, host_frame: HostFrame, R, t, frame_id, timestamp,
+                     fd_dev=None) -> int:
+        """``fd_dev``: the frame's device-resident FrameData, if the caller
+        still holds it (the tracker always does — features were computed on
+        device). Keeping it lets the mapper's fusion kernels read keyframe
+        features straight from HBM instead of re-uploading snapshots through
+        the tunnel (~55 KB/KF, descriptors incompressible)."""
         kf = self.n_kf
         if kf >= self.kf_R.shape[0]:
             raise RuntimeError("keyframe arena full")
@@ -164,8 +172,24 @@ class SlamMap:
         self.kf_frame_id[kf] = frame_id
         self.kf_timestamp[kf] = timestamp
         self.kf_frames[kf] = host_frame
+        self.kf_frames_dev[kf] = fd_dev
         self.n_kf += 1
         return kf
+
+    def device_frame(self, kf: int):
+        """Device FrameData for a keyframe: cached from tracking when
+        available, else uploaded once from the host snapshot and cached."""
+        fd = self.kf_frames_dev[kf]
+        if fd is None:
+            import jax.numpy as jnp
+
+            from .frame import FrameData
+
+            host = self.kf_frames[kf]
+            fd = FrameData(*(jnp.asarray(getattr(host, f))
+                             for f in FrameData._fields))
+            self.kf_frames_dev[kf] = fd
+        return fd
 
     def erase_keyframe(self, kf: int):
         """KeyFrame::SetBadFlag (KeyFrame.cc:526-618): detach every
@@ -201,7 +225,8 @@ class SlamMap:
                         self.ln_first_kf[lid] = min(obs)
         self.kf_ln_idx[kf] = -1
         self.kf_valid[kf] = False
-        self.kf_frames[kf] = None  # release the feature snapshot
+        self.kf_frames[kf] = None  # release the feature snapshots
+        self.kf_frames_dev[kf] = None
 
     def kf_camera_center(self, kf: int) -> np.ndarray:
         return -self.kf_R[kf].T @ self.kf_t[kf]

@@ -39,6 +39,7 @@ from ..geometry import lines as glines
 from ..geometry import se3
 from ..ops import line_matching, matching
 from ..optim import pose as pose_opt
+from ..utils import wire as wirefmt
 from . import frame as mframe
 from .frame import FrameData
 from .map import HostFrame, SlamMap
@@ -273,8 +274,17 @@ class FusedOut(NamedTuple):
     lml_inlier: jax.Array
     stats: jax.Array         # (5,) int32: [n_motion_matches,
                              # n_motion_inliers, n_local_inliers,
-                             # tracked_close, creatable_close] — packed so
-                             # the per-frame result fetch is few transfers
+                             # tracked_close, creatable_close]
+    wire: jax.Array = None   # (B,) uint8: every host-bound result (stats,
+                             # pose, bindings, the full FrameData snapshot)
+                             # packed into ONE buffer so the per-frame fetch
+                             # is a single device->host message
+
+
+def _wire_arrays(out: "FusedOut"):
+    """Host-bound fields in wire order (see utils.wire)."""
+    return [out.stats, out.R, out.t, out.lm_feat, out.lm_inlier,
+            out.lm_visible, out.lml_feat, out.lml_inlier, *out.fd]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -307,7 +317,7 @@ def fused_track_step(
         prev_slot_ln >= 0, ln_remap[jnp.clip(prev_slot_ln, 0, LL - 1)], -1
     )
 
-    fd = mframe.build_frame(gray, depth, cfg)
+    fd = mframe.build_frame(gray, depth, cfg, wire=True)
 
     # velocity-model pose guess
     Rv, tv = se3.compose(R_vel, t_vel, R_prev, t_prev)
@@ -394,7 +404,7 @@ def fused_track_step(
     tracked_close = jnp.sum((close & (feat_slot_pt >= 0)).astype(jnp.int32))
     creatable_close = jnp.sum((close & (feat_slot_pt < 0)).astype(jnp.int32))
 
-    return FusedOut(
+    out = FusedOut(
         fd=fd, R=lo.R, t=lo.t, R_vel=Rvn, t_vel=tvn,
         feat_slot_pt=feat_slot_pt, feat_slot_ln=feat_slot_ln,
         lm_feat=jnp.where(ok_slot, lo.pt_idx, -1), lm_inlier=ok_slot,
@@ -405,6 +415,7 @@ def fused_track_step(
             lo.n_inliers.astype(jnp.int32), tracked_close, creatable_close,
         ]),
     )
+    return out._replace(wire=wirefmt.pack(_wire_arrays(out)))
 
 
 # ===========================================================================
@@ -495,13 +506,14 @@ class Tracker:
         gray = jnp.asarray(gray)
         depth = jnp.asarray(depth)
         if self.state == NOT_INITIALIZED:
-            fd = mframe.build_frame(gray, depth, self.cfg)
+            fd = mframe.build_frame(gray, depth, self.cfg, wire=True)
             if self._stereo_initialization(fd, timestamp):
                 self.state = OK
                 return self.last_pose
             return None
         if self.state == LOST:
-            self._prev_fd = mframe.build_frame(gray, depth, self.cfg)
+            self._prev_fd = mframe.build_frame(gray, depth, self.cfg,
+                                               wire=True)
             if self._try_relocalize(timestamp):
                 return self.last_pose
             # reference: reset if lost right after init (Tracking.cc:560-568)
@@ -563,16 +575,12 @@ class Tracker:
         self._ln_remap = self._id_ln
         self._pt_remap_np = None
         self._ln_remap_np = None
-        # start the host copies now; they complete during this frame's compute
-        for a in (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
-                  out.lml_feat, out.lml_inlier, out.stats):
-            a.copy_to_host_async()
-        # prefetch the frame snapshot too: if this frame becomes a keyframe,
-        # _create_new_keyframe device_gets the whole FrameData — a fresh
-        # synchronous fetch through the tunnel costs ~40 ms, while these
-        # async copies land during later frames' compute (~100 KB downstream)
-        for a in out.fd:
-            a.copy_to_host_async()
+        # start the host copy now; it completes during this frame's compute.
+        # ONE message: the wire buffer packs every host-bound result — pose,
+        # bindings, stats, and the full FrameData snapshot (needed if this
+        # frame becomes a keyframe) — because the tunneled transport charges
+        # fixed per-message overhead that dwarfs the payload for small arrays.
+        out.wire.copy_to_host_async()
         self._prev_fd = out.fd
         self._prev_slot_pt = out.feat_slot_pt
         self._prev_slot_ln = out.feat_slot_ln
@@ -585,29 +593,38 @@ class Tracker:
 
     def _quantize_inputs(self, gray, depth):
         """Pack images into compact wire formats: uint8 gray and HALF-RES
-        uint16 depth (TUM depth_map_factor units, 2x2 min-of-nonzero pool).
+        uint16 depth (TUM depth_map_factor units, 2x2 min-of-nonzero pool),
+        both horizontally DIFFERENCED (PNG Sub filter, exact mod-2^k).
         The tunneled TPU's ordered transport makes upload bytes the frame
         loop's floor — depth is only ever sampled at feature coordinates, so
         shipping it at (H/2, W/2) cuts the dominant copy 4x with sub-pixel
-        sampling error comparable to the depth sensor's own edge noise."""
-        if isinstance(gray, np.ndarray) and gray.dtype != np.uint8:
+        sampling error comparable to the depth sensor's own edge noise; and
+        the transport compresses, so shipping gradient rows (low entropy)
+        instead of pixels cuts real-image bytes ~20% more. build_frame
+        (wire=True) reconstructs exactly via wraparound cumsum."""
+        gray = np.asarray(gray)
+        depth = np.asarray(depth)
+        if gray.dtype != np.uint8:
             gray = np.clip(gray, 0, 255).astype(np.uint8)
-        if isinstance(depth, np.ndarray):
-            h, w = depth.shape
-            if depth.dtype != np.uint16:
-                f = self.cfg.tracking.depth_map_factor
-                depth = np.clip(depth * f, 0, 65535).astype(np.uint16)
-            if (h, w) == (self.cfg.camera.height, self.cfg.camera.width) \
-                    and h % 2 == 0 and w % 2 == 0:
-                blocks = depth.reshape(h // 2, 2, w // 2, 2)
-                # min over nonzero values; 0 (no depth) only if all 4 are 0.
-                # uint16 wraparound: x-1 maps 0 -> 65535 (loses every min
-                # against a real depth), +1 maps it back — no temporaries.
-                depth = blocks - np.uint16(1)
-                depth = np.minimum(depth[:, 0], depth[:, 1])
-                depth = np.minimum(depth[..., 0], depth[..., 1])
-                depth += np.uint16(1)
-        return gray, depth
+        h, w = depth.shape
+        if depth.dtype != np.uint16:
+            f = self.cfg.tracking.depth_map_factor
+            depth = np.clip(depth * f, 0, 65535).astype(np.uint16)
+        if (h, w) == (self.cfg.camera.height, self.cfg.camera.width) \
+                and h % 2 == 0 and w % 2 == 0:
+            blocks = depth.reshape(h // 2, 2, w // 2, 2)
+            # min over nonzero values; 0 (no depth) only if all 4 are 0.
+            # uint16 wraparound: x-1 maps 0 -> 65535 (loses every min
+            # against a real depth), +1 maps it back — no temporaries.
+            depth = blocks - np.uint16(1)
+            depth = np.minimum(depth[:, 0], depth[:, 1])
+            depth = np.minimum(depth[..., 0], depth[..., 1])
+            depth += np.uint16(1)
+        gw = gray.copy()
+        gw[:, 1:] -= gray[:, :-1]  # unsigned wraparound == mod 256
+        dw = depth.copy()
+        dw[:, 1:] -= depth[:, :-1]
+        return gw, dw
 
     def _try_relocalize(self, timestamp: float) -> bool:
         """Relocalization against the keyframe database (Tracking.cc:2049)."""
@@ -654,7 +671,8 @@ class Tracker:
             return False
         R = np.eye(3, dtype=np.float32)
         t = np.zeros(3, np.float32)
-        kf = self.map.add_keyframe(host, R, t, self.frame_id, timestamp)
+        kf = self.map.add_keyframe(host, R, t, self.frame_id, timestamp,
+                                   fd_dev=fd)
         pt_ids = self._create_landmarks_from_depth(
             kf, host, R, t, np.full(host.kp_valid.shape, -1, np.int32),
             close_only=False,
@@ -690,12 +708,15 @@ class Tracker:
         frame_id = pending["frame_id"]
         lp_ids = pending["lp_ids"]
         ll_ids = pending["ll_ids"]
-        # the async copies were started at dispatch; this get is ~free
-        (R, t, lm_feat, lm_inlier, lm_vis, lml_feat, lml_inlier,
-         stats) = jax.device_get(
-            (out.R, out.t, out.lm_feat, out.lm_inlier, out.lm_visible,
-             out.lml_feat, out.lml_inlier, out.stats)
-        )
+        # the async copy was started at dispatch; this get is ~free
+        buf = jax.device_get(out.wire)
+        fields = _wire_arrays(out)
+        vals = wirefmt.unpack(buf, [(f.shape, f.dtype) for f in fields])
+        stats, R, t, lm_feat, lm_inlier, lm_vis, lml_feat, lml_inlier = \
+            vals[:8]
+        fd_host = HostFrame(FrameData(*vals[8:]))
+        R = np.array(R)  # own the pose (the views borrow the wire buffer)
+        t = np.array(t)
         n_mm, n_mi, n_li, tc, cc = (int(v) for v in stats)
         self.debug = {
             "motion_matches": int(n_mm), "motion_inliers": int(n_mi),
@@ -741,7 +762,7 @@ class Tracker:
             with self._map_lock:
                 self._create_new_keyframe(out.fd, R, t, cur_pt_ids,
                                           cur_ln_ids, timestamp,
-                                          frame_id=frame_id)
+                                          frame_id=frame_id, host=fd_host)
         return True
 
     # --------------------------------------------------- local map handling
@@ -893,12 +914,14 @@ class Tracker:
         return bool((c1a or c1b or c1c) and c2)
 
     def _create_new_keyframe(self, fd: FrameData, R, t, cur_pt_ids,
-                             cur_ln_ids, ts, frame_id: int | None = None):
+                             cur_ln_ids, ts, frame_id: int | None = None,
+                             host: HostFrame | None = None):
         """CreateNewKeyFrame (Tracking.cc:1567-1744)."""
         if frame_id is None:
             frame_id = self.frame_id
-        host = HostFrame(jax.device_get(fd))  # the retired frame
-        kf = self.map.add_keyframe(host, R, t, frame_id, ts)
+        if host is None:  # the retired frame (normally unpacked from wire)
+            host = HostFrame(jax.device_get(fd))
+        kf = self.map.add_keyframe(host, R, t, frame_id, ts, fd_dev=fd)
         for feat, pid in enumerate(cur_pt_ids):
             if pid >= 0 and self.map.pt_valid[pid]:
                 self.map.add_point_obs(int(pid), kf, feat)

@@ -355,6 +355,20 @@ def ba_iterate(cam, prob: BAProblem, state, robust: bool = True):
     return _lm_iteration(cam, prob, state, robust)
 
 
+@functools.partial(jax.jit, static_argnames=("cam", "robust", "n"))
+def ba_iterate_chunk(cam, prob: BAProblem, state, robust: bool = True,
+                     n: int = 5):
+    """``n`` LM iterations per XLA program (lax.scan). The per-dispatch
+    transport overhead on the tunneled TPU (~2.5 ms amortized) makes
+    one-iteration programs mostly overhead; a small chunk keeps BA
+    abortable at a few-iteration granularity while paying the dispatch
+    tax ~n times less."""
+    return jax.lax.scan(
+        lambda s, _: (_lm_iteration(cam, prob, s, robust), None),
+        state, None, length=n,
+    )[0]
+
+
 @functools.partial(jax.jit, static_argnames=("cam",))
 def ba_reclassify(cam, prob: BAProblem, state):
     """chi2 inlier reclassification between the two phases
@@ -386,15 +400,18 @@ def bundle_adjust_stepped(cam, prob: BAProblem, iters1: int = 5,
     the current state is finalized early (mbAbortBA semantics)."""
     state = ba_state_init(prob)
     aborted = False
-    for _ in range(iters1):
-        state = ba_iterate(cam, prob, state, robust)
+    chunk = 5
+    for i in range(0, iters1, chunk):
+        state = ba_iterate_chunk(cam, prob, state, robust,
+                                 n=min(chunk, iters1 - i))
         if should_abort is not None and should_abort():
             aborted = True
             break
     if not aborted:
         state = ba_reclassify(cam, prob, state)
-        for _ in range(iters2):
-            state = ba_iterate(cam, prob, state, robust)
+        for i in range(0, iters2, chunk):
+            state = ba_iterate_chunk(cam, prob, state, robust,
+                                     n=min(chunk, iters2 - i))
             if should_abort is not None and should_abort():
                 break
     return ba_finalize(cam, prob, state)
