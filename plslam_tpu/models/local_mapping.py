@@ -120,6 +120,9 @@ class LocalMapper:
         self.lock = threading.RLock()
         # polled between BA iterations (mbAbortBA, LocalMapping.cc:1107)
         self.should_abort = None
+        from .triangulation import Triangulator
+
+        self.triangulator = Triangulator(cfg, slam_map)
 
     @staticmethod
     def _bucket(n: int, lo: int, hi: int) -> int:
@@ -144,8 +147,12 @@ class LocalMapper:
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
         with self.lock:
+            self.map.update_spanning_tree(kf)  # ProcessNewKeyFrame tail
             self.cull_points(kf)
             self.cull_lines(kf)
+            # CreateNewMapPoints (epipolar, beyond the depth range) —
+            # cheap no-op while the sensor covers the scene
+            self.triangulator.create_new_points(kf, mapper=self)
         self.fuse(kf)
         if self.enable_ba and self.map.n_kf > 2:
             self.run_local_ba(kf)
@@ -268,20 +275,21 @@ class LocalMapper:
             fdv = m.device_frame(kf)  # features stay in HBM — no re-upload
             C = self._bucket(len(cand), 512, self._fuse_cap)
             p3d = np.zeros((C, 3), np.float32)
-            desc = np.zeros((C, 32), np.uint8)
             mind = np.zeros(C, np.float32)
             maxd = np.zeros(C, np.float32)
             valid = np.zeros(C, bool)
+            pid_pad = np.zeros(C, np.int32)
             k = len(cand)
             p3d[:k] = m.pt_pos[cand]
-            desc[:k] = m.pt_desc[cand]
             mind[:k] = m.pt_min_dist[cand]
             maxd[:k] = m.pt_max_dist[cand]
             valid[:k] = True
+            pid_pad[:k] = cand
+            desc = m.point_desc_arena()[jnp.asarray(pid_pad)]
             idx, ok = fuse_step(
                 self.cfg,
                 fdv.kp_xy_un, fdv.kp_octave, fdv.kp_desc, fdv.kp_valid,
-                jnp.asarray(p3d), jnp.asarray(desc), jnp.asarray(mind),
+                jnp.asarray(p3d), desc, jnp.asarray(mind),
                 jnp.asarray(maxd), jnp.asarray(valid),
                 jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
             )
@@ -337,20 +345,21 @@ class LocalMapper:
         ts = np.stack([m.kf_t[o] for o in pad_t])
         C2 = self._bucket(len(own_pids), 512, 2048)
         p3d2 = np.zeros((C2, 3), np.float32)
-        desc2 = np.zeros((C2, 32), np.uint8)
         mind2 = np.zeros(C2, np.float32)
         maxd2 = np.zeros(C2, np.float32)
         valid2 = np.zeros(C2, bool)
+        pid_pad2 = np.zeros(C2, np.int32)
         k2 = len(own_pids)
         p3d2[:k2] = m.pt_pos[own_pids]
-        desc2[:k2] = m.pt_desc[own_pids]
         mind2[:k2] = m.pt_min_dist[own_pids]
         maxd2[:k2] = m.pt_max_dist[own_pids]
         valid2[:k2] = True
+        pid_pad2[:k2] = own_pids
+        desc2 = m.point_desc_arena()[jnp.asarray(pid_pad2)]
         idx2, ok2 = fuse_multi_step(
             self.cfg,
             kxy, koct, kdesc, kval,
-            jnp.asarray(p3d2), jnp.asarray(desc2), jnp.asarray(mind2),
+            jnp.asarray(p3d2), desc2, jnp.asarray(mind2),
             jnp.asarray(maxd2), jnp.asarray(valid2),
             jnp.asarray(Rs), jnp.asarray(ts),
             radius_px=5.0,

@@ -102,16 +102,15 @@ class LoopCloser:
         3D pairs, verify by neighborhood projection. Returns (R12, t12,
         n_pairs) with x_c1 = R12 x_c2 + t12, or None."""
         m = self.map
-        h1, h2 = m.kf_frames[kf1], m.kf_frames[kf2]
         p1 = m.kf_pt_idx[kf1]
         p2 = m.kf_pt_idx[kf2]
         has1 = (p1 >= 0) & m.pt_valid[np.clip(p1, 0, None)]
         has2 = (p2 >= 0) & m.pt_valid[np.clip(p2, 0, None)]
         if has1.sum() < SIM3_MATCH_MIN or has2.sum() < SIM3_MATCH_MIN:
             return None
-        dist = hamming.hamming_matrix(
-            jnp.asarray(h1.kp_desc), jnp.asarray(h2.kp_desc)
-        )
+        d1 = m.device_frame(kf1)
+        d2 = m.device_frame(kf2)
+        dist = hamming.hamming_matrix(d1.kp_desc, d2.kp_desc)
         gate = jnp.asarray(has1)[:, None] & jnp.asarray(has2)[None, :]
         mm = matching.best_matches(dist, gate, max_dist=60,
                                    nn_ratio=self.cfg.matcher.nn_ratio_reloc)
@@ -158,21 +157,21 @@ class LoopCloser:
 
         C = 4096
         p3d = np.zeros((C, 3), np.float32)
-        desc = np.zeros((C, 32), np.uint8)
         mind = np.zeros(C, np.float32)
         maxd = np.ones(C, np.float32)
         valid = np.zeros(C, bool)
+        pid_pad = np.zeros(C, np.int32)
         k = min(len(pids), C)
         p3d[:k] = m.pt_pos[pids[:k]]
-        desc[:k] = m.pt_desc[pids[:k]]
         mind[:k] = m.pt_min_dist[pids[:k]]
         maxd[:k] = m.pt_max_dist[pids[:k]]
         valid[:k] = True
+        pid_pad[:k] = pids[:k]
+        desc = m.point_desc_arena()[jnp.asarray(pid_pad)]
         fidx, fok = fuse_step(
             self.cfg,
-            jnp.asarray(h1.kp_xy_un), jnp.asarray(h1.kp_octave),
-            jnp.asarray(h1.kp_desc), jnp.asarray(h1.kp_valid),
-            jnp.asarray(p3d), jnp.asarray(desc), jnp.asarray(mind),
+            d1.kp_xy_un, d1.kp_octave, d1.kp_desc, d1.kp_valid,
+            jnp.asarray(p3d), desc, jnp.asarray(mind),
             jnp.asarray(maxd), jnp.asarray(valid),
             jnp.asarray(Rc), jnp.asarray(tc),
         )
@@ -250,10 +249,19 @@ class LoopCloser:
         K = m.n_kf
         KCAP = 1 << (K - 1).bit_length()
         edges = []
-        # spanning tree: consecutive keyframes
+        # spanning-tree edges (OptimizeEssentialGraph, Optimizer.cc:1180);
+        # falls back to the previous surviving KF for never-attached rows
+        # (maps built without a LocalMapper pass)
+        prev_valid = -1
         for k in range(1, K):
-            if m.kf_valid[k] and m.kf_valid[k - 1]:
-                edges.append((k - 1, k, 1.0))
+            if not m.kf_valid[k]:
+                continue
+            p = int(m.kf_parent[k])
+            if p < 0 or not m.kf_valid[p]:
+                p = prev_valid
+            if p >= 0:
+                edges.append((p, k, 1.0))
+            prev_valid = k
         # strong covisibility edges
         for k in range(K):
             if not m.kf_valid[k]:

@@ -64,6 +64,11 @@ class SlamMap:
         self.kf_frames_dev: list = [None] * cap.max_keyframes
         self.kf_pt_idx = np.full((cap.max_keyframes, n_kp), -1, np.int32)
         self.kf_ln_idx = np.full((cap.max_keyframes, n_ln), -1, np.int32)
+        # spanning tree (KeyFrame::mpParent/mspChildrens): attached on the
+        # keyframe's first covisibility update, used by the essential graph
+        # and by erase-time reparenting
+        self.kf_parent = np.full(cap.max_keyframes, -1, np.int32)
+        self.kf_children: list[set[int]] = [set() for _ in range(cap.max_keyframes)]
         self.n_kf = 0
 
         # map points
@@ -96,14 +101,60 @@ class SlamMap:
 
         self.big_change_idx = 0  # Map::InformNewBigChange counter
 
+        # Device descriptor arenas — the authoritative store the matching
+        # kernels read. Binary descriptors are incompressible, so shipping
+        # them through the tunnel (as wire downloads per frame, or as
+        # local-map/fusion-candidate uploads per keyframe event) is the
+        # single largest byte stream in the system; keeping them in HBM and
+        # gathering by landmark id (ids are tiny and compressible) removes
+        # it. Landmarks created from tracking scatter their rows straight
+        # from the keyframe's device FrameData; host-authored descriptors
+        # (tests, tools) are staged dirty and flushed on first kernel read.
+        self._pt_desc_dev = None
+        self._pt_desc_dirty: list[int] = []
+        self._ln_desc_dev = None
+        self._ln_desc_dirty: list[int] = []
+
+    # ---------------------------------------------------- descriptor arenas
+    def point_desc_arena(self):
+        """(max_points, 32) uint8 device array, host-dirty rows flushed."""
+        self._pt_desc_dev, self._pt_desc_dirty[:] = _flush_arena(
+            self._pt_desc_dev, self._pt_desc_dirty, self.pt_desc), []
+        return self._pt_desc_dev
+
+    def line_desc_arena(self):
+        self._ln_desc_dev, self._ln_desc_dirty[:] = _flush_arena(
+            self._ln_desc_dev, self._ln_desc_dirty, self.ln_desc), []
+        return self._ln_desc_dev
+
+    def scatter_point_descs_from(self, src_desc_dev, feats, pids):
+        """arena[pids] = src[feats], entirely on device (KF creation path:
+        ``src_desc_dev`` is the new keyframe's fd.kp_desc)."""
+        if len(pids) == 0:
+            return
+        self._pt_desc_dev = _scatter_from(
+            self.point_desc_arena(), src_desc_dev,
+            *_pad_ids(feats, pids))
+
+    def scatter_line_descs_from(self, src_desc_dev, feats, lids):
+        if len(lids) == 0:
+            return
+        self._ln_desc_dev = _scatter_from(
+            self.line_desc_arena(), src_desc_dev,
+            *_pad_ids(feats, lids))
+
     # ---------------------------------------------------------------- points
     def add_point(self, pos, desc, normal, min_d, max_d, first_kf) -> int:
+        """``desc=None`` means device-managed: the caller scatters the row
+        into the device arena itself (scatter_point_descs_from)."""
         pid = self._pt_next
         if pid >= self.pt_pos.shape[0]:
             raise RuntimeError("point arena full — compaction needed")
         self._pt_next += 1
         self.pt_pos[pid] = pos
-        self.pt_desc[pid] = desc
+        if desc is not None:
+            self.pt_desc[pid] = desc
+            self._pt_desc_dirty.append(pid)
         self.pt_normal[pid] = normal
         self.pt_min_dist[pid] = min_d
         self.pt_max_dist[pid] = max_d
@@ -129,12 +180,15 @@ class SlamMap:
 
     # ----------------------------------------------------------------- lines
     def add_line(self, ep, desc, first_kf) -> int:
+        """``desc=None`` means device-managed (scatter_line_descs_from)."""
         lid = self._ln_next
         if lid >= self.ln_ep.shape[0]:
             raise RuntimeError("line arena full — compaction needed")
         self._ln_next += 1
         self.ln_ep[lid] = ep
-        self.ln_desc[lid] = desc
+        if desc is not None:
+            self.ln_desc[lid] = desc
+            self._ln_desc_dirty.append(lid)
         self.ln_valid[lid] = True
         self.ln_first_kf[lid] = first_kf
         self.ln_visible[lid] = 1
@@ -224,9 +278,58 @@ class SlamMap:
                     elif self.ln_first_kf[lid] == kf:
                         self.ln_first_kf[lid] = min(obs)
         self.kf_ln_idx[kf] = -1
+        self._reparent_children(kf)
         self.kf_valid[kf] = False
         self.kf_frames[kf] = None  # release the feature snapshots
         self.kf_frames_dev[kf] = None
+
+    def update_spanning_tree(self, kf: int):
+        """Attach ``kf`` to its strongest covisible predecessor
+        (KeyFrame::UpdateConnections tail, KeyFrame.cc:443-451)."""
+        if kf == 0 or self.kf_parent[kf] >= 0:
+            return
+        counts = self.covisibility_counts(kf)
+        best, parent = 0, -1
+        for o, c in counts.items():
+            if o != kf and o < kf and self.kf_valid[o] and c > best:
+                best, parent = c, o
+        if parent < 0:  # no covisibility yet: previous surviving keyframe
+            prev = [o for o in range(kf) if self.kf_valid[o]]
+            parent = prev[-1] if prev else -1
+        if parent >= 0:
+            self.kf_parent[kf] = parent
+            self.kf_children[parent].add(kf)
+
+    def _reparent_children(self, kf: int):
+        """KeyFrame::SetBadFlag reparenting (KeyFrame.cc:552-615): each
+        child re-attaches to its strongest covisible inside the candidate
+        set (initially the dying keyframe's parent, growing as children are
+        adopted); leftovers fall back to the dying keyframe's parent."""
+        parent = int(self.kf_parent[kf])
+        children = set(self.kf_children[kf])
+        cands = {parent} if parent >= 0 else set()
+        while children and cands:
+            best = (0, -1, -1)  # (weight, child, new_parent)
+            for ch in children:
+                counts = self.covisibility_counts(ch)
+                for o, c in counts.items():
+                    if o in cands and c > best[0]:
+                        best = (c, ch, o)
+            if best[1] < 0:
+                break
+            _, ch, npar = best
+            self.kf_parent[ch] = npar
+            self.kf_children[npar].add(ch)
+            children.discard(ch)
+            cands.add(ch)
+        for ch in children:
+            self.kf_parent[ch] = parent
+            if parent >= 0:
+                self.kf_children[parent].add(ch)
+        if parent >= 0:
+            self.kf_children[parent].discard(kf)
+        self.kf_children[kf] = set()
+        self.kf_parent[kf] = -1
 
     def kf_camera_center(self, kf: int) -> np.ndarray:
         return -self.kf_R[kf].T @ self.kf_t[kf]
@@ -273,3 +376,66 @@ class SlamMap:
 
     def reset(self):
         self.__init__(self.cfg)
+
+
+# --------------------------------------------------------------------------
+# Device descriptor-arena helpers.
+def _pad_ids(feats, ids, lo: int = 8):
+    """Pad (feats, ids) to a power-of-two bucket so scatter programs
+    compile for a handful of lengths. Padding repeats the last pair —
+    scattering the same row twice is idempotent."""
+    import jax.numpy as jnp
+
+    feats = np.asarray(feats, np.int32)
+    ids = np.asarray(ids, np.int32)
+    n = max(len(ids), 1)
+    b = lo
+    while b < n:
+        b *= 2
+    pf = np.full(b, feats[-1] if len(feats) else 0, np.int32)
+    pi = np.full(b, ids[-1] if len(ids) else 0, np.int32)
+    pf[: len(feats)] = feats
+    pi[: len(ids)] = ids
+    if len(ids) == 0:  # degenerate: scatter row 0 onto itself
+        return jnp.asarray(pf), jnp.asarray(pi)
+    return jnp.asarray(pf), jnp.asarray(pi)
+
+
+def _flush_arena(arena, dirty, host_rows):
+    import jax.numpy as jnp
+
+    if arena is None:
+        arena = jnp.zeros(host_rows.shape, jnp.uint8)
+    if dirty:
+        ids = np.array(sorted(set(dirty)), np.int32)
+        n = len(ids)
+        b = 8
+        while b < n:
+            b *= 2
+        pad = np.full(b, ids[-1], np.int32)
+        pad[:n] = ids
+        arena = _scatter_rows(arena, jnp.asarray(pad),
+                              jnp.asarray(host_rows[pad]))
+    return arena
+
+
+def _scatter_rows(arena, ids, rows):
+    import jax
+
+    global _scatter_rows_jit
+    if _scatter_rows_jit is None:
+        _scatter_rows_jit = jax.jit(lambda a, i, r: a.at[i].set(r))
+    return _scatter_rows_jit(arena, ids, rows)
+
+
+def _scatter_from(arena, src, feats, ids):
+    import jax
+
+    global _scatter_from_jit
+    if _scatter_from_jit is None:
+        _scatter_from_jit = jax.jit(lambda a, s, f, i: a.at[i].set(s[f]))
+    return _scatter_from_jit(arena, src, feats, ids)
+
+
+_scatter_rows_jit = None
+_scatter_from_jit = None

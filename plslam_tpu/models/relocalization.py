@@ -22,7 +22,7 @@ import numpy as np
 from ..config import SlamConfig
 from ..geometry import projection as gproj
 from ..ops import matching
-from ..optim import horn, pose as pose_opt
+from ..optim import epnp, horn, pose as pose_opt
 from .frame import FrameData
 
 RELOC_ACCEPT_INLIERS = 50
@@ -42,9 +42,10 @@ def reloc_candidate_step(
     Returns (R, t, per-feature matched kf-feature idx, inlier mask,
     n_inliers)."""
     cam = cfg.camera
-    # dense ratio-test matching: queries = current features (with depth)
-    q_valid = fd.kp_valid & (fd.kp_depth > 0)
-    gate = q_valid[:, None] & kf_has_pt[None, :]
+    # dense ratio-test matching over ALL valid current features — depthless
+    # ones still vote through the EPnP branch (the reference's solver is
+    # 3D-2D EPnP throughout, Tracking.cc:2105-2131)
+    gate = fd.kp_valid[:, None] & kf_has_pt[None, :]
     m = matching.match_descriptors(
         fd.kp_desc, kf_desc, gate, 100,
         nn_ratio=cfg.matcher.nn_ratio_reloc, dedupe=True,
@@ -54,12 +55,20 @@ def reloc_candidate_step(
 
     src_cam = gproj.backproject(cam, fd.kp_xy_un, fd.kp_depth)  # (N,3) cur cam
     dst_w = kf_pt_w[tgt]                                        # (N,3) world
+    ok_d = ok & (fd.kp_depth > 0)
     s, R_wc, t_wc, inl, n_inl = horn.ransac_align(
-        src_cam, dst_w, ok, key, thresh=0.07, n_hyp=256, with_scale=False
+        src_cam, dst_w, ok_d, key, thresh=0.07, n_hyp=256, with_scale=False
     )
     # camera pose: x_c = R x_w + t with R = R_wc^T, t = -R_wc^T t_wc
     R0 = R_wc.T
     t0 = -(R_wc.T @ t_wc)
+    # EPnP fallback: when the depth-paired matches starve the 3D-3D solver
+    # (shallow scenes, depth dropouts), solve 3D-2D over every match
+    k2 = jax.random.fold_in(key, 1)
+    R_e, t_e, _, n_e = epnp.ransac_epnp(cam, dst_w, fd.kp_xy_un, ok, k2)
+    use_epnp = n_inl < 12
+    R0 = jnp.where(use_epnp, R_e, R0)
+    t0 = jnp.where(use_epnp, t_e, t0)
 
     # LM refinement on the matched 3D-2D observations
     obs = pose_opt.make_pose_obs(fd.kp_xy_un.shape[0], 1)
@@ -93,7 +102,8 @@ def try_relocalize(tracker, fd: FrameData):
         ptw[has] = m.pt_pos[pids[has]]
         R, t, idx, inl, n = reloc_candidate_step(
             tracker.cfg, fd,
-            jnp.asarray(host.kp_desc), jnp.asarray(has), jnp.asarray(ptw),
+            m.device_frame(kf).kp_desc,  # descriptors stay in HBM
+            jnp.asarray(has), jnp.asarray(ptw),
             jax.random.fold_in(key, ci),
         )
         n = int(n)

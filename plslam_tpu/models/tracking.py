@@ -282,9 +282,38 @@ class FusedOut(NamedTuple):
 
 
 def _wire_arrays(out: "FusedOut"):
-    """Host-bound fields in wire order (see utils.wire)."""
-    return [out.stats, out.R, out.t, out.lm_feat, out.lm_inlier,
-            out.lm_visible, out.lml_feat, out.lml_inlier, *out.fd]
+    """Host-bound fields in wire order (see utils.wire) — the TRIMMED set.
+
+    Only what the host actually consumes crosses the wire: pose, stats,
+    bindings (as int16 — feature indices fit), and the FrameData fields the
+    keyframe path reads (kp_xy_un/octave/depth/valid, line endpoints/desc/
+    depth/valid). Descriptors, responses, angles, raw coords, kp_ur and
+    ln_coeff stay on device: kp_ur is recomputed on host from xy_un+depth,
+    descriptors live in the map's device arenas, the rest has no host
+    consumer. This halves the per-frame download (and removes its only
+    incompressible block, kp_desc)."""
+    fd = out.fd
+    return [out.stats, out.R, out.t,
+            out.lm_feat.astype(jnp.int16), out.lm_inlier, out.lm_visible,
+            out.lml_feat.astype(jnp.int16), out.lml_inlier,
+            fd.kp_xy_un, fd.kp_octave.astype(jnp.uint8), fd.kp_depth,
+            fd.kp_valid, fd.ln_ep_un, fd.ln_desc, fd.ln_depth, fd.ln_valid]
+
+
+def _wire_spec(out: "FusedOut"):
+    """(shape, dtype) list matching _wire_arrays, computed WITHOUT touching
+    device arrays (unpack happens on the host thread every frame)."""
+    fd = out.fd
+    LM = out.lm_feat.shape[0]
+    LL = out.lml_feat.shape[0]
+    N = fd.kp_valid.shape[0]
+    NL = fd.ln_valid.shape[0]
+    return [((5,), np.int32), ((3, 3), np.float32), ((3,), np.float32),
+            ((LM,), np.int16), ((LM,), np.bool_), ((LM,), np.bool_),
+            ((LL,), np.int16), ((LL,), np.bool_),
+            ((N, 2), np.float32), ((N,), np.uint8), ((N,), np.float32),
+            ((N,), np.bool_), ((NL, 2, 2), np.float32), ((NL, 32), np.uint8),
+            ((NL, 2), np.float32), ((NL,), np.bool_)]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -417,6 +446,35 @@ def fused_track_step(
     )
     return out._replace(wire=wirefmt.pack(_wire_arrays(out)))
 
+
+def _host_frame_from_wire(cfg, kp_xy_un, kp_octave, kp_depth, kp_valid,
+                          ln_ep_un, ln_desc, ln_depth, ln_valid) -> HostFrame:
+    """Rebuild the keyframe snapshot from the trimmed wire record.
+
+    Derived fields are recomputed (kp_ur from xy_un+depth — the same
+    formula the device used, Frame.cc:1065-1117 semantics); fields with no
+    host consumer (descriptors, responses, angles, raw coords, ln_coeff)
+    are zero-filled — the device arenas hold the real values."""
+    cam = cfg.camera
+    n = kp_valid.shape[0]
+    nl = ln_valid.shape[0]
+    has_d = kp_depth > 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ur = np.where(has_d, kp_xy_un[:, 0] - cam.bf / np.where(
+            has_d, kp_depth, 1.0), -1.0).astype(np.float32)
+    z = np.zeros
+    fd = FrameData(
+        kp_xy=kp_xy_un, kp_xy_un=kp_xy_un, kp_resp=z(n, np.float32),
+        kp_octave=kp_octave.astype(np.int32), kp_angle=z(n, np.float32),
+        kp_desc=z((n, 32), np.uint8), kp_depth=kp_depth, kp_ur=ur,
+        kp_valid=kp_valid,
+        ln_ep=ln_ep_un, ln_ep_un=ln_ep_un, ln_angle=z(nl, np.float32),
+        ln_length=np.linalg.norm(
+            ln_ep_un[:, 1] - ln_ep_un[:, 0], axis=-1).astype(np.float32),
+        ln_coeff=z((nl, 3), np.float32), ln_desc=ln_desc,
+        ln_depth=ln_depth, ln_valid=ln_valid,
+    )
+    return HostFrame(fd)
 
 # ===========================================================================
 # Host-side tracker
@@ -680,6 +738,10 @@ class Tracker:
         ln_ids = self._create_lines_from_depth(
             kf, host, R, t, np.full(host.ln_valid.shape, -1, np.int32)
         )
+        feats = np.nonzero(pt_ids >= 0)[0]
+        self.map.scatter_point_descs_from(fd.kp_desc, feats, pt_ids[feats])
+        lfeats = np.nonzero(ln_ids >= 0)[0]
+        self.map.scatter_line_descs_from(fd.ln_desc, lfeats, ln_ids[lfeats])
         self.last_kf_id = self.frame_id
         self.last_kf = kf
         self.ref_kf = kf
@@ -710,11 +772,13 @@ class Tracker:
         ll_ids = pending["ll_ids"]
         # the async copy was started at dispatch; this get is ~free
         buf = jax.device_get(out.wire)
-        fields = _wire_arrays(out)
-        vals = wirefmt.unpack(buf, [(f.shape, f.dtype) for f in fields])
-        stats, R, t, lm_feat, lm_inlier, lm_vis, lml_feat, lml_inlier = \
-            vals[:8]
-        fd_host = HostFrame(FrameData(*vals[8:]))
+        vals = wirefmt.unpack(buf, _wire_spec(out))
+        (stats, R, t, lm_feat, lm_inlier, lm_vis, lml_feat, lml_inlier,
+         kp_xy_un, kp_octave, kp_depth, kp_valid,
+         ln_ep_un, ln_desc, ln_depth, ln_valid) = vals
+        fd_host = _host_frame_from_wire(
+            self.cfg, kp_xy_un, kp_octave, kp_depth, kp_valid,
+            ln_ep_un, ln_desc, ln_depth, ln_valid)
         R = np.array(R)  # own the pose (the views borrow the wire buffer)
         t = np.array(t)
         n_mm, n_mi, n_li, tc, cc = (int(v) for v in stats)
@@ -788,24 +852,29 @@ class Tracker:
         LM, LL = self.LM_CAP, self.LL_CAP
         k = len(lp_ids)
         p3d = np.zeros((LM, 3), np.float32)
-        desc = np.zeros((LM, 32), np.uint8)
         normal = np.zeros((LM, 3), np.float32)
         mind = np.zeros(LM, np.float32)
         maxd = np.zeros(LM, np.float32)
         valid = np.zeros(LM, bool)
+        pid_pad = np.zeros(LM, np.int32)
         p3d[:k] = m.pt_pos[lp_ids]
-        desc[:k] = m.pt_desc[lp_ids]
         normal[:k] = m.pt_normal[lp_ids]
         mind[:k] = m.pt_min_dist[lp_ids]
         maxd[:k] = m.pt_max_dist[lp_ids]
         valid[:k] = True
+        pid_pad[:k] = lp_ids
         kl = len(ll_ids)
         lep = np.zeros((LL, 2, 3), np.float32)
-        ldesc = np.zeros((LL, 32), np.uint8)
         lvalid = np.zeros(LL, bool)
+        lid_pad = np.zeros(LL, np.int32)
         lep[:kl] = m.ln_ep[ll_ids]
-        ldesc[:kl] = m.ln_desc[ll_ids]
         lvalid[:kl] = True
+        lid_pad[:kl] = ll_ids
+        # descriptors are gathered from the device arenas by id — the ids
+        # compress to nothing on the wire, the descriptor bytes never leave
+        # HBM (the reference's pointer-chase becomes an indexed gather)
+        desc = m.point_desc_arena()[jnp.asarray(pid_pad)]
+        ldesc = m.line_desc_arena()[jnp.asarray(lid_pad)]
         self._lm_args = tuple(
             jnp.asarray(a)
             for a in (p3d, desc, normal, mind, maxd, valid, lep, ldesc, lvalid)
@@ -935,6 +1004,12 @@ class Tracker:
         new_ln = self._create_lines_from_depth(kf, host, R, t, cur_ln_ids)
         cur_ln_ids = cur_ln_ids.copy()
         cur_ln_ids[new_ln >= 0] = new_ln[new_ln >= 0]
+        # new landmarks take their descriptors straight from the keyframe's
+        # device snapshot — descriptors never cross the wire
+        feats = np.nonzero(new_pt >= 0)[0]
+        self.map.scatter_point_descs_from(fd.kp_desc, feats, new_pt[feats])
+        lfeats = np.nonzero(new_ln >= 0)[0]
+        self.map.scatter_line_descs_from(fd.ln_desc, lfeats, new_ln[lfeats])
         self.last_kf_id = frame_id
         self.last_kf = kf
         self.ref_kf = kf
@@ -984,7 +1059,7 @@ class Tracker:
                 n_existing + created >= 100
             ):
                 break
-            pid = self.map.add_point(pw[j], host.kp_desc[feat], normal[j],
+            pid = self.map.add_point(pw[j], None, normal[j],
                                      min_d[j], max_d[j], kf)
             self.map.add_point_obs(pid, kf, int(feat))
             out[feat] = pid
@@ -1010,7 +1085,7 @@ class Tracker:
                 pc = _backproject_np(cam, host.ln_ep_un[feat, k : k + 1],
                                      host.ln_depth[feat, k : k + 1])[0]
                 ep_w[k] = Rwc @ pc + c
-            lid = self.map.add_line(ep_w, host.ln_desc[feat], kf)
+            lid = self.map.add_line(ep_w, None, kf)
             self.map.add_line_obs(lid, kf, int(feat))
             out[feat] = lid
         return out
