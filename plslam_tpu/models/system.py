@@ -38,8 +38,10 @@ class System:
                  enable_loop_closing: bool = True,
                  enable_dense_cloud: bool = False,
                  localization_only: bool = False,
-                 async_mapping: bool = False):
+                 async_mapping: bool = False,
+                 sensor: str = "rgbd"):
         self.cfg = cfg
+        self.sensor = sensor  # System eSensor (System.h:58-66)
         vocab_path = vocabulary_path or _DEFAULT_VOCAB
         if vocab_path.endswith(".txt"):
             self.voc = Vocabulary  # pragma: no cover - heavy external file
@@ -63,7 +65,7 @@ class System:
         )
         self.tracker = Tracker(cfg, self.map, local_mapper=self.local_mapper,
                                loop_closer=self.loop_closer, voc=self.voc,
-                               kfdb=self.kfdb)
+                               kfdb=self.kfdb, sensor=sensor)
         if self.loop_closer is not None:
             self.loop_closer.tracker = self.tracker
         self.cloud = PointCloudMapper(cfg) if enable_dense_cloud else None
@@ -82,6 +84,13 @@ class System:
                                        self.map.kf_t[kf])
             self._last_n_kf = self.map.n_kf
         return out
+
+    def track_monocular(self, gray: np.ndarray, timestamp: float):
+        """Track one monocular frame (System::TrackMonocular,
+        System.cc:236-280); returns (R, t) up to the bootstrap scale."""
+        if self.sensor != "mono":
+            raise RuntimeError("System was not constructed with sensor='mono'")
+        return self.tracker.process_mono(gray, timestamp)
 
     def activate_localization_mode(self):
         """ActivateLocalizationMode (System.cc:129-140): freeze mapping."""

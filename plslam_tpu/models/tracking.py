@@ -476,6 +476,19 @@ def _host_frame_from_wire(cfg, kp_xy_un, kp_octave, kp_depth, kp_valid,
     )
     return HostFrame(fd)
 
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def mono_init_match(cfg: SlamConfig, q_xy, q_desc, q_valid,
+                    t_xy, t_desc, t_valid):
+    """SearchForInitialization (ORBmatcher.cc:573-727): 100px window,
+    ratio 0.9, TH_LOW, deduped — one dense batch."""
+    gate = (matching.window_gate(q_xy, t_xy, jnp.full(q_xy.shape[0], 100.0))
+            & q_valid[:, None] & t_valid[None, :])
+    m = matching.match_descriptors(q_desc, t_desc, gate, TH_LOW,
+                                   nn_ratio=0.9, dedupe=True)
+    return m.idx, m.ok
+
+
 # ===========================================================================
 # Host-side tracker
 # ===========================================================================
@@ -492,9 +505,12 @@ class Tracker:
     LL_CAP = 512
 
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap,
-                 local_mapper=None, loop_closer=None, voc=None, kfdb=None):
+                 local_mapper=None, loop_closer=None, voc=None, kfdb=None,
+                 sensor: str = "rgbd"):
         self.cfg = cfg
         self.map = slam_map
+        self.sensor = sensor            # "rgbd" | "mono" (System eSensor)
+        self._mono_ref = None           # (fd_dev, HostFrame, timestamp)
         self.local_mapper = local_mapper
         self.loop_closer = loop_closer
         self.voc = voc
@@ -565,7 +581,10 @@ class Tracker:
         depth = jnp.asarray(depth)
         if self.state == NOT_INITIALIZED:
             fd = mframe.build_frame(gray, depth, self.cfg, wire=True)
-            if self._stereo_initialization(fd, timestamp):
+            init = (self._monocular_initialization
+                    if self.sensor == "mono" else
+                    self._stereo_initialization)
+            if init(fd, timestamp):
                 self.state = OK
                 return self.last_pose
             return None
@@ -608,6 +627,14 @@ class Tracker:
             lp_ids=self._lp_ids, ll_ids=self._ll_ids,
         ))
         return result
+
+    def process_mono(self, gray: np.ndarray, timestamp: float):
+        """Track one monocular frame (System::TrackMonocular ->
+        GrabImageMonocular, Tracking.cc:244-281). The shared fused step
+        runs with an all-zero depth map: temporal depth candidates vanish,
+        landmarks come from two-view bootstrap + epipolar triangulation."""
+        h, w = self.cfg.camera.height // 2, self.cfg.camera.width // 2
+        return self.process(gray, np.zeros((h, w), np.uint16), timestamp)
 
     def flush(self):
         """Drain all in-flight frames (call before reading the trajectory)."""
@@ -759,6 +786,110 @@ class Tracker:
         self._t = jnp.asarray(t)
         self._has_vel = jnp.asarray(False)
         self._refresh_local_map(pt_ids, ln_ids)
+        return True
+
+
+    def _monocular_initialization(self, fd: FrameData, timestamp: float) -> bool:
+        """MonocularInitialization + CreateInitialMapMonocular
+        (Tracking.cc:729-903): hold a reference frame, match wide, RANSAC
+        H and F concurrently, pick by score ratio, reconstruct, build the
+        two-keyframe map scaled to median depth 1."""
+        from ..ops import initializer as mono_init_ops
+
+        host = HostFrame(jax.device_get(fd))
+        n_kp = int(host.kp_valid.sum())
+        if n_kp <= 100:
+            self._mono_ref = None
+            return False
+        if self._mono_ref is None:
+            self._mono_ref = (fd, host, timestamp)
+            return False
+        rfd, rhost, rts = self._mono_ref
+        idx, ok = mono_init_match(
+            self.cfg, rfd.kp_xy_un, rfd.kp_desc, rfd.kp_valid,
+            fd.kp_xy_un, fd.kp_desc, fd.kp_valid)
+        idx, ok = jax.device_get((idx, ok))
+        if int(ok.sum()) < 100:  # Tracking.cc:774-780: drop the ref frame
+            self._mono_ref = (fd, host, timestamp)
+            return False
+        uv1 = rhost.kp_xy_un
+        uv2 = host.kp_xy_un[np.clip(idx, 0, len(host.kp_xy_un) - 1)]
+        H, sh, F, sf, okh, okf = mono_init_ops.find_models(
+            jnp.asarray(uv1), jnp.asarray(uv2.astype(np.float32)),
+            jnp.asarray(ok), jax.random.PRNGKey(self.frame_id))
+        sh_f, sf_f = float(sh), float(sf)
+        K = jnp.asarray(np.array(
+            [[self.cfg.camera.fx, 0, self.cfg.camera.cx],
+             [0, self.cfg.camera.fy, self.cfg.camera.cy],
+             [0, 0, 1]], np.float32))
+        if sh_f / max(sh_f + sf_f, 1e-9) > 0.40:  # Tracking.cc:129-136
+            R, t, pw, good, clear = mono_init_ops.reconstruct_h(
+                H, K, jnp.asarray(uv1), jnp.asarray(uv2.astype(np.float32)),
+                okh)
+        else:
+            R, t, pw, good, clear = mono_init_ops.reconstruct_f(
+                F, K, jnp.asarray(uv1), jnp.asarray(uv2.astype(np.float32)),
+                okf)
+        if not bool(clear):
+            return False
+        R, t, pw, good = jax.device_get((R, t, pw, good))
+        good = good & ok
+        if good.sum() < 80:
+            return False
+        # scale: median depth -> 1 (CreateInitialMapMonocular :860-880)
+        med = float(np.median(pw[good][:, 2]))
+        if med <= 0:
+            return False
+        t = (t / med).astype(np.float32)
+        pw = (pw / med).astype(np.float32)
+
+        m = self.map
+        I = np.eye(3, dtype=np.float32)
+        z3 = np.zeros(3, np.float32)
+        kf0 = m.add_keyframe(rhost, I, z3, self.frame_id - 1, rts, fd_dev=rfd)
+        kf1 = m.add_keyframe(host, R, t, self.frame_id, timestamp, fd_dev=fd)
+        cur_pt_ids = np.full(self.cfg.orb.max_keypoints, -1, np.int32)
+        new_feats, new_pids = [], []
+        c1 = np.zeros(3)
+        for f in np.nonzero(good)[0]:
+            p = pw[f]
+            dist = float(np.linalg.norm(p - c1))
+            level = int(rhost.kp_octave[f])
+            max_d = dist * self.cfg.orb.scale_factor ** level
+            min_d = max_d / self.cfg.orb.scale_factor ** (
+                self.cfg.orb.n_levels - 1)
+            normal = (p - c1) / max(dist, 1e-6)
+            pid = m.add_point(p, None, normal, min_d, max_d, kf0)
+            f2 = int(idx[f])
+            m.add_point_obs(pid, kf0, int(f))
+            m.add_point_obs(pid, kf1, f2)
+            cur_pt_ids[f2] = pid
+            new_feats.append(int(f))
+            new_pids.append(pid)
+        m.scatter_point_descs_from(rfd.kp_desc,
+                                   np.array(new_feats, np.int32),
+                                   np.array(new_pids, np.int32))
+        self.last_kf_id = self.frame_id
+        self.last_kf = kf1
+        self.ref_kf = kf1
+        self.last_pose = (R, t)
+        self.last_pt_ids = cur_pt_ids
+        self.last_ln_ids = np.full(self.cfg.lines.max_lines, -1, np.int32)
+        self.trajectory.append((rts, I.copy(), z3.copy()))
+        self.trajectory.append((timestamp, R.copy(), t.copy()))
+        if self.local_mapper is not None:
+            self.local_mapper.on_new_landmarks(
+                kf1, np.array(new_pids, np.int32), np.zeros(0, np.int32))
+            self.local_mapper.process_keyframe(kf1)
+        self._register_bow(kf0, rfd)
+        self._register_bow(kf1, fd)
+        self._mono_ref = None
+        # device state
+        self._prev_fd = fd
+        self._R = jnp.asarray(R)
+        self._t = jnp.asarray(t)
+        self._has_vel = jnp.asarray(False)
+        self._refresh_local_map(cur_pt_ids, self.last_ln_ids)
         return True
 
     # ------------------------------------------------------------- tracking
@@ -968,7 +1099,10 @@ class Tracker:
         if frame_id is None:
             frame_id = self.frame_id
         cfg = self.cfg.tracking
-        need_close = (tracked_close < 100) and (creatable_close > 70)
+        mono = self.sensor == "mono"
+        # mono has no depth to mint close points from (Tracking.cc:1488)
+        need_close = (not mono) and (tracked_close < 100) and (
+            creatable_close > 70)
         min_obs = 2 if self.map.n_kf <= 2 else 3
         ref_tracked = 1
         if self.ref_kf >= 0:
@@ -978,8 +1112,10 @@ class Tracker:
             ref_tracked = max(cnt if cnt > 0 else len(pids), 1)
         c1a = frame_id >= self.last_kf_id + cfg.max_frames_between_kf
         c1b = frame_id >= self.last_kf_id + max(cfg.min_frames_between_kf, 1)
-        c1c = (n_inliers < ref_tracked * 0.25) or need_close
-        c2 = ((n_inliers < ref_tracked * 0.75) or need_close) and n_inliers > 15
+        c1c = (not mono) and ((n_inliers < ref_tracked * 0.25) or need_close)
+        th_ref = 0.9 if mono else 0.75  # Tracking.cc:1504-1509
+        c2 = ((n_inliers < ref_tracked * th_ref) or need_close) \
+            and n_inliers > 15
         return bool((c1a or c1b or c1c) and c2)
 
     def _create_new_keyframe(self, fd: FrameData, R, t, cur_pt_ids,
