@@ -144,3 +144,97 @@ def backproject_lines(cam, fd: FrameData) -> tuple[jax.Array, jax.Array]:
     p0 = projection.backproject(cam, fd.ln_ep_un[:, 0], fd.ln_depth[:, 0])
     p1 = projection.backproject(cam, fd.ln_ep_un[:, 1], fd.ln_depth[:, 1])
     return jnp.stack([p0, p1], 1), ok
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "wire"))
+def build_frame_stereo(gray_l: jax.Array, gray_r: jax.Array, cfg: SlamConfig,
+                       wire: bool = False) -> FrameData:
+    """Stereo frame construction (Frame stereo ctor, Frame.cc:88-133 +
+    ComputeStereoMatches :888-1062): ORB on BOTH images, row-banded
+    descriptor matching left->right, SAD subpixel disparity refinement,
+    depth = bf / disparity. Lines are RGB-D-only in the reference (the
+    stereo ctor never extracts them), so the line block is empty.
+
+    TPU shape: both extractions batch through the same kernels; the
+    reference's per-row candidate buckets become one (N_L x N_R) gate on
+    |row_L - row_R| and the disparity band; the per-keypoint sliding SAD
+    (11x11 window, +-5 px) is a gathered (N, 11, 21) strip correlation —
+    no loops."""
+    cam = cfg.camera
+    hw = (cam.height, cam.width)
+    if wire:
+        gray_l = jnp.cumsum(gray_l.astype(jnp.uint32), axis=1).astype(jnp.uint8)
+        gray_r = jnp.cumsum(gray_r.astype(jnp.uint32), axis=1).astype(jnp.uint8)
+    gl = gray_l.astype(jnp.float32)
+    gr = gray_r.astype(jnp.float32)
+
+    fl = orb.extract_orb(gl, cfg.orb, hw)
+    fr = orb.extract_orb(gr, cfg.orb, hw)
+
+    scale = cfg.orb.scale_factor
+    min_z = cam.bf / cam.fx  # minZ (Frame.cc:905)
+    min_d = 0.0
+    max_d = cam.fx  # maxD = fx (disparity upper bound ~ bf/minZ)
+
+    # row band: |vL - vR| <= 2 * sigma(octave_L) (Frame.cc:930-940)
+    band = 2.0 * scale ** fl.octave.astype(jnp.float32)
+    dv = jnp.abs(fl.xy[:, None, 1] - fr.xy[None, :, 1])
+    disp = fl.xy[:, None, 0] - fr.xy[None, :, 0]
+    gate = ((dv <= band[:, None]) & (disp > min_d) & (disp < max_d)
+            & fl.valid[:, None] & fr.valid[None, :]
+            & (jnp.abs(fl.octave[:, None] - fr.octave[None, :]) <= 1))
+    from ..ops import matching as _matching
+
+    m = _matching.match_descriptors(fl.desc, fr.desc, gate, 100)
+    ridx = jnp.clip(m.idx, 0, fr.xy.shape[0] - 1)
+    u_r0 = fr.xy[ridx, 0]
+
+    # --- SAD subpixel refinement (Frame.cc:986-1050), full-res variant ----
+    W = 5   # 11x11 window
+    L = 5   # +-5 px search
+    ys = jnp.clip(jnp.round(fl.xy[:, 1]).astype(jnp.int32), W, hw[0] - W - 1)
+    xl = jnp.clip(jnp.round(fl.xy[:, 0]).astype(jnp.int32), W + L,
+                  hw[1] - W - L - 1)
+    xr = jnp.clip(jnp.round(u_r0).astype(jnp.int32), W + L, hw[1] - W - L - 1)
+    dy, dx = jnp.meshgrid(jnp.arange(-W, W + 1), jnp.arange(-W, W + 1),
+                          indexing="ij")
+    patch_l = gl[ys[:, None, None] + dy[None], xl[:, None, None] + dx[None]]
+    offs = jnp.arange(-L, L + 1)
+    # right strips: (N, 11, 11, 11 offsets) via broadcasted gather
+    px = (xr[:, None, None, None] + offs[None, :, None, None]
+          + dx[None, None])  # (N, 2L+1, 11, 11)
+    py = (ys[:, None, None, None] + jnp.zeros_like(offs)[None, :, None, None]
+          + dy[None, None])
+    strips = gr[py, px]  # (N, 2L+1, 11, 11)
+    # mean-normalized SAD like the reference (it subtracts window centers)
+    pl = patch_l - patch_l.mean((-2, -1), keepdims=True)
+    ps = strips - strips.mean((-2, -1), keepdims=True)
+    sad = jnp.abs(ps - pl[:, None]).sum((-2, -1))  # (N, 2L+1)
+    best = jnp.argmin(sad, -1)
+    # parabola subpixel fit (Frame.cc:1030-1043)
+    bi = jnp.clip(best, 1, 2 * L - 1)
+    s0 = jnp.take_along_axis(sad, (bi - 1)[:, None], 1)[:, 0]
+    s1 = jnp.take_along_axis(sad, bi[:, None], 1)[:, 0]
+    s2 = jnp.take_along_axis(sad, (bi + 1)[:, None], 1)[:, 0]
+    denom = jnp.maximum(s0 + s2 - 2 * s1, 1e-6)
+    delta = jnp.clip((s0 - s2) / (2 * denom), -1.0, 1.0)
+    u_r = xr.astype(jnp.float32) + (bi - L).astype(jnp.float32) + delta
+
+    disparity = fl.xy[:, 0] - u_r
+    ok = m.ok & (disparity > 0.01) & (disparity < max_d)
+    depth = jnp.where(ok, cam.bf / jnp.maximum(disparity, 1e-6), 0.0)
+
+    xy_un = projection.undistort_points(cam, fl.xy)
+    ur = jnp.where(ok, xy_un[:, 0] - cam.bf / jnp.maximum(depth, 1e-6), -1.0)
+
+    nl = cfg.lines.max_lines
+    z = jnp.zeros
+    return FrameData(
+        kp_xy=fl.xy, kp_xy_un=xy_un, kp_resp=fl.response,
+        kp_octave=fl.octave, kp_angle=fl.angle, kp_desc=fl.desc,
+        kp_depth=depth, kp_ur=ur, kp_valid=fl.valid,
+        ln_ep=z((nl, 2, 2), jnp.float32), ln_ep_un=z((nl, 2, 2), jnp.float32),
+        ln_angle=z((nl,), jnp.float32), ln_length=z((nl,), jnp.float32),
+        ln_coeff=z((nl, 3), jnp.float32), ln_desc=z((nl, 32), jnp.uint8),
+        ln_depth=z((nl, 2), jnp.float32), ln_valid=z((nl,), bool),
+    )

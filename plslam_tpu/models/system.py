@@ -85,6 +85,15 @@ class System:
             self._last_n_kf = self.map.n_kf
         return out
 
+    def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
+                     timestamp: float):
+        """Track one rectified stereo pair (System::TrackStereo,
+        System.cc:121-174)."""
+        if self.sensor != "stereo":
+            raise RuntimeError(
+                "System was not constructed with sensor='stereo'")
+        return self.tracker.process_stereo(gray_l, gray_r, timestamp)
+
     def track_monocular(self, gray: np.ndarray, timestamp: float):
         """Track one monocular frame (System::TrackMonocular,
         System.cc:236-280); returns (R, t) up to the bootstrap scale."""

@@ -316,11 +316,11 @@ def _wire_spec(out: "FusedOut"):
             ((NL, 2), np.float32), ((NL,), np.bool_)]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "stereo"))
 def fused_track_step(
     cfg: SlamConfig,
     gray: jax.Array,
-    depth: jax.Array,
+    depth: jax.Array,        # depth map (rgbd/mono) or RIGHT image (stereo)
     prev: FrameData,
     prev_slot_pt: jax.Array,  # (N,) lm slot per prev feature or -1
     prev_slot_ln: jax.Array,  # (NL,)
@@ -335,6 +335,7 @@ def fused_track_step(
     has_vel: jax.Array,       # () bool
     lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd, lm_valid,
     lml_ep3d, lml_desc, lml_valid,
+    stereo: bool = False,
 ) -> FusedOut:
     cam = cfg.camera
     LM = lm_p3d.shape[0]
@@ -346,7 +347,8 @@ def fused_track_step(
         prev_slot_ln >= 0, ln_remap[jnp.clip(prev_slot_ln, 0, LL - 1)], -1
     )
 
-    fd = mframe.build_frame(gray, depth, cfg, wire=True)
+    fd = (mframe.build_frame_stereo(gray, depth, cfg, wire=True)
+          if stereo else mframe.build_frame(gray, depth, cfg, wire=True))
 
     # velocity-model pose guess
     Rv, tv = se3.compose(R_vel, t_vel, R_prev, t_prev)
@@ -580,7 +582,9 @@ class Tracker:
         gray = jnp.asarray(gray)
         depth = jnp.asarray(depth)
         if self.state == NOT_INITIALIZED:
-            fd = mframe.build_frame(gray, depth, self.cfg, wire=True)
+            fd = (mframe.build_frame_stereo(gray, depth, self.cfg, wire=True)
+                  if self.sensor == "stereo" else
+                  mframe.build_frame(gray, depth, self.cfg, wire=True))
             init = (self._monocular_initialization
                     if self.sensor == "mono" else
                     self._stereo_initialization)
@@ -589,8 +593,10 @@ class Tracker:
                 return self.last_pose
             return None
         if self.state == LOST:
-            self._prev_fd = mframe.build_frame(gray, depth, self.cfg,
-                                               wire=True)
+            self._prev_fd = (
+                mframe.build_frame_stereo(gray, depth, self.cfg, wire=True)
+                if self.sensor == "stereo" else
+                mframe.build_frame(gray, depth, self.cfg, wire=True))
             if self._try_relocalize(timestamp):
                 return self.last_pose
             # reference: reset if lost right after init (Tracking.cc:560-568)
@@ -636,6 +642,12 @@ class Tracker:
         h, w = self.cfg.camera.height // 2, self.cfg.camera.width // 2
         return self.process(gray, np.zeros((h, w), np.uint16), timestamp)
 
+    def process_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
+                       timestamp: float):
+        """Track one stereo pair (System::TrackStereo ->
+        GrabImageStereo, Tracking.cc:170-208)."""
+        return self.process(gray_l, gray_r, timestamp)
+
     def flush(self):
         """Drain all in-flight frames (call before reading the trajectory)."""
         while self._queue:
@@ -655,6 +667,7 @@ class Tracker:
             self._pt_remap, self._ln_remap,
             self._R, self._t, self._R_vel, self._t_vel, self._has_vel,
             *self._lm_args,
+            stereo=(self.sensor == "stereo"),
         )
         self._pt_remap = self._id_pt
         self._ln_remap = self._id_ln
@@ -691,6 +704,15 @@ class Tracker:
         depth = np.asarray(depth)
         if gray.dtype != np.uint8:
             gray = np.clip(gray, 0, 255).astype(np.uint8)
+        if self.sensor == "stereo":
+            # second input is the RIGHT image: same uint8 + Sub-filter format
+            if depth.dtype != np.uint8:
+                depth = np.clip(depth, 0, 255).astype(np.uint8)
+            gw = gray.copy()
+            gw[:, 1:] -= gray[:, :-1]
+            rw = depth.copy()
+            rw[:, 1:] -= depth[:, :-1]
+            return gw, rw
         h, w = depth.shape
         if depth.dtype != np.uint16:
             f = self.cfg.tracking.depth_map_factor
