@@ -51,6 +51,14 @@ class FrameData(NamedTuple):
     ln_valid: jax.Array     # (NL,) bool
 
 
+def _uncumsum2(a: jax.Array, dtype) -> jax.Array:
+    """Invert the host 2-D gradient wire filter (tracking._grad2):
+    cumsum along rows then columns in uint32, truncating casts give the
+    exact mod-2^k reconstruction."""
+    b = jnp.cumsum(a.astype(jnp.uint32), axis=0)
+    return jnp.cumsum(b, axis=1).astype(dtype)
+
+
 def _sample_depth(depth: jax.Array, xy: jax.Array, hw: tuple[int, int]) -> jax.Array:
     """Depth at rounded pixel coords (reference samples the raw map directly,
     Frame.cc:1080). ``depth`` may be shipped at a coarser resolution than the
@@ -76,8 +84,8 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig,
     # (PNG Sub filter — the transport compresses, and gradient rows have much
     # lower entropy than pixels); undo with an exact mod-2^k cumulative sum.
     if wire:
-        gray = jnp.cumsum(gray.astype(jnp.uint32), axis=1).astype(jnp.uint8)
-        depth = jnp.cumsum(depth.astype(jnp.uint32), axis=1).astype(jnp.uint16)
+        gray = _uncumsum2(gray, jnp.uint8)
+        depth = _uncumsum2(depth, jnp.uint16)
     if gray.dtype == jnp.uint8:
         gray = gray.astype(jnp.float32)
     if depth.dtype == jnp.uint16:
@@ -163,8 +171,8 @@ def build_frame_stereo(gray_l: jax.Array, gray_r: jax.Array, cfg: SlamConfig,
     cam = cfg.camera
     hw = (cam.height, cam.width)
     if wire:
-        gray_l = jnp.cumsum(gray_l.astype(jnp.uint32), axis=1).astype(jnp.uint8)
-        gray_r = jnp.cumsum(gray_r.astype(jnp.uint32), axis=1).astype(jnp.uint8)
+        gray_l = _uncumsum2(gray_l, jnp.uint8)
+        gray_r = _uncumsum2(gray_r, jnp.uint8)
     gl = gray_l.astype(jnp.float32)
     gr = gray_r.astype(jnp.float32)
 

@@ -254,6 +254,7 @@ class LocalMapper:
 
     def _fuse_locked(self, kf: int):
         m = self.map
+        touched: list[int] = []  # landmarks whose observation set changed
         neighbors = m.covisible_keyframes(kf, self.cfg.mapping.triangulation_neighbors)
         ext = list(neighbors)
         seen = set(ext) | {kf}
@@ -302,6 +303,7 @@ class LocalMapper:
                 bound = int(m.kf_pt_idx[kf, feat])
                 if bound < 0:
                     m.add_point_obs(pid, kf, feat)
+                    touched.append(pid)
                 elif bound != pid and m.pt_valid[bound]:
                     # merge: keep the better-observed landmark (Replace)
                     winner, loser = (
@@ -310,6 +312,7 @@ class LocalMapper:
                         else (bound, pid)
                     )
                     self.replace_point(loser, winner)
+                    touched.append(winner)
 
         # ---- reverse direction / two-view confirmation: project the new
         # KF's landmarks into the neighbor keyframes (the second half of
@@ -326,6 +329,7 @@ class LocalMapper:
         own_pids = own_pids[own_pids >= 0]
         own_pids = own_pids[m.pt_valid[own_pids]][: 2048]
         if len(own_pids) == 0 or not ext:
+            self._refresh_descriptors(touched)
             return
         # pad the target batch to a BUCKETED size: a varying keyframe count
         # would retrace/recompile the vmapped kernel per distinct K
@@ -376,6 +380,7 @@ class LocalMapper:
                 bound = int(m.kf_pt_idx[okf, feat])
                 if bound < 0:
                     m.add_point_obs(pid, okf, feat)
+                    touched.append(pid)
                 elif bound != pid and m.pt_valid[bound]:
                     # prefer the older landmark on ties (stability)
                     winner, loser = (
@@ -384,6 +389,17 @@ class LocalMapper:
                         else (pid, bound)
                     )
                     self.replace_point(loser, winner)
+                    touched.append(winner)
+        self._refresh_descriptors(touched)
+
+    def _refresh_descriptors(self, touched):
+        """ComputeDistinctiveDescriptors over the landmarks the fusion
+        pass touched (MapPoint.cc semantics; see models.distinctive)."""
+        if not touched:
+            return
+        from .distinctive import refresh_distinctive_descriptors
+
+        refresh_distinctive_descriptors(self.map, sorted(set(touched)))
 
     def replace_point(self, loser: int, winner: int):
         """MapPoint::Replace (MapPoint.cc): rebind all observations."""

@@ -39,9 +39,13 @@ class System:
                  enable_dense_cloud: bool = False,
                  localization_only: bool = False,
                  async_mapping: bool = False,
-                 sensor: str = "rgbd"):
+                 sensor: str = "rgbd",
+                 trace_path: str | None = None):
+        from ..utils.tracing import Tracer
+
         self.cfg = cfg
         self.sensor = sensor  # System eSensor (System.h:58-66)
+        self.tracer = Tracer(trace_path)
         vocab_path = vocabulary_path or _DEFAULT_VOCAB
         if vocab_path.endswith(".txt"):
             self.voc = Vocabulary  # pragma: no cover - heavy external file
@@ -65,7 +69,8 @@ class System:
         )
         self.tracker = Tracker(cfg, self.map, local_mapper=self.local_mapper,
                                loop_closer=self.loop_closer, voc=self.voc,
-                               kfdb=self.kfdb, sensor=sensor)
+                               kfdb=self.kfdb, sensor=sensor,
+                               tracer=self.tracer)
         if self.loop_closer is not None:
             self.loop_closer.tracker = self.tracker
         self.cloud = PointCloudMapper(cfg) if enable_dense_cloud else None
@@ -123,6 +128,28 @@ class System:
         if hasattr(lm, "wait_idle"):
             lm.wait_idle(timeout=30.0)
             lm.shutdown()
+        self.tracer.close()
+
+    def save_map(self, path: str):
+        """Persist the world model (no reference analogue — ORB-SLAM2
+        famously cannot save maps; see utils.checkpoint)."""
+        from ..utils import checkpoint
+
+        self.tracker.flush()
+        checkpoint.save_map(self.map, path)
+
+    def load_map(self, path: str):
+        """Restore a saved map and re-register its keyframes with the BoW
+        database. The tracker starts LOST and relocalizes into the map —
+        pair with localization_only=True for pure localization."""
+        from ..utils import checkpoint
+        from .tracking import LOST
+
+        new_map = checkpoint.load_map(self.cfg, path)
+        self.map.__dict__.update(new_map.__dict__)
+        checkpoint.register_keyframes(self)
+        self.tracker.state = LOST
+        self.tracker.n_lost_frames = 0
 
     def map_changed(self) -> bool:
         """System::MapChanged (System.cc:294-305)."""

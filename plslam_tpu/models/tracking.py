@@ -449,6 +449,16 @@ def fused_track_step(
     return out._replace(wire=wirefmt.pack(_wire_arrays(out)))
 
 
+def _grad2(a: np.ndarray) -> np.ndarray:
+    """2-D wraparound gradient (PNG Sub then Up filters, exact mod-2^k):
+    the transport's compressor sees near-zero rows for natural images.
+    Inverse = cumsum(axis=0) then cumsum(axis=1) (build_frame wire=True)."""
+    b = a.copy()
+    b[:, 1:] -= a[:, :-1]
+    c = b.copy()
+    c[1:] -= b[:-1]
+    return c
+
 def _host_frame_from_wire(cfg, kp_xy_un, kp_octave, kp_depth, kp_valid,
                           ln_ep_un, ln_desc, ln_depth, ln_valid) -> HostFrame:
     """Rebuild the keyframe snapshot from the trimmed wire record.
@@ -508,9 +518,12 @@ class Tracker:
 
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap,
                  local_mapper=None, loop_closer=None, voc=None, kfdb=None,
-                 sensor: str = "rgbd"):
+                 sensor: str = "rgbd", tracer=None):
+        from ..utils import tracing
+
         self.cfg = cfg
         self.map = slam_map
+        self.tracer = tracer or tracing.NULL
         self.sensor = sensor            # "rgbd" | "mono" (System eSensor)
         self._mono_ref = None           # (fd_dev, HostFrame, timestamp)
         self.local_mapper = local_mapper
@@ -697,22 +710,18 @@ class Tracker:
         loop's floor — depth is only ever sampled at feature coordinates, so
         shipping it at (H/2, W/2) cuts the dominant copy 4x with sub-pixel
         sampling error comparable to the depth sensor's own edge noise; and
-        the transport compresses, so shipping gradient rows (low entropy)
-        instead of pixels cuts real-image bytes ~20% more. build_frame
-        (wire=True) reconstructs exactly via wraparound cumsum."""
+        the transport compresses, so shipping 2-D gradients (low entropy)
+        instead of pixels cuts real-image bytes ~35%. build_frame
+        (wire=True) reconstructs exactly via two wraparound cumsums."""
         gray = np.asarray(gray)
         depth = np.asarray(depth)
         if gray.dtype != np.uint8:
             gray = np.clip(gray, 0, 255).astype(np.uint8)
         if self.sensor == "stereo":
-            # second input is the RIGHT image: same uint8 + Sub-filter format
+            # second input is the RIGHT image: same uint8 wire format
             if depth.dtype != np.uint8:
                 depth = np.clip(depth, 0, 255).astype(np.uint8)
-            gw = gray.copy()
-            gw[:, 1:] -= gray[:, :-1]
-            rw = depth.copy()
-            rw[:, 1:] -= depth[:, :-1]
-            return gw, rw
+            return _grad2(gray), _grad2(depth)
         h, w = depth.shape
         if depth.dtype != np.uint16:
             f = self.cfg.tracking.depth_map_factor
@@ -727,11 +736,7 @@ class Tracker:
             depth = np.minimum(depth[:, 0], depth[:, 1])
             depth = np.minimum(depth[..., 0], depth[..., 1])
             depth += np.uint16(1)
-        gw = gray.copy()
-        gw[:, 1:] -= gray[:, :-1]  # unsigned wraparound == mod 256
-        dw = depth.copy()
-        dw[:, 1:] -= depth[:, :-1]
-        return gw, dw
+        return _grad2(gray), _grad2(depth)
 
     def _try_relocalize(self, timestamp: float) -> bool:
         """Relocalization against the keyframe database (Tracking.cc:2049)."""
@@ -974,6 +979,14 @@ class Tracker:
 
         need = self._need_new_keyframe(int(tc), int(cc), n_in,
                                        frame_id=frame_id)
+        if self.tracer.enabled:
+            self.tracer.emit(
+                "frame", frame=int(frame_id), ts=timestamp,
+                state=self.state, motion_inliers=int(n_mi),
+                local_inliers=n_in, tracked_close=int(tc),
+                points=len(lp_ids), lines=len(ll_ids),
+                kf=bool(need), n_kf=self.map.n_kf,
+            )
         self._map_lock.__exit__(None, None, None)
         if need:
             with self._map_lock:

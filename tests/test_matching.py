@@ -104,3 +104,58 @@ class TestMatching:
         m2 = matching.dedupe_targets(m, 10)
         ok2 = np.asarray(m2.ok)
         assert list(ok2) == [False, True, True]
+
+
+def test_distinctive_descriptors_min_median():
+    """The winning descriptor minimizes the median Hamming distance to the
+    other observations (MapPoint::ComputeDistinctiveDescriptors)."""
+    import numpy as np
+
+    from plslam_tpu.config import SlamConfig
+    from plslam_tpu.geometry.projection import Camera
+    from plslam_tpu.models.distinctive import refresh_distinctive_descriptors
+    from plslam_tpu.models.frame import FrameData
+    from plslam_tpu.models.map import HostFrame, SlamMap
+
+    cfg = SlamConfig(camera=Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
+                                   bf=40.0))
+    m = SlamMap(cfg)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, 32).astype(np.uint8)
+    far = base ^ 0xFF  # 256 bits away
+    mid = base.copy()
+    mid[0] ^= 0x0F     # 4 bits away from base
+    descs = [base, mid, far]
+
+    n = cfg.orb.max_keypoints
+    nl = cfg.lines.max_lines
+    z = np.zeros
+    for k, d in enumerate(descs):
+        kp_desc = z((n, 32), np.uint8)
+        kp_desc[0] = d
+        kp_valid = z(n, bool)
+        kp_valid[0] = True
+        fd = FrameData(
+            kp_xy=z((n, 2), np.float32), kp_xy_un=z((n, 2), np.float32),
+            kp_resp=z(n, np.float32), kp_octave=z(n, np.int32),
+            kp_angle=z(n, np.float32), kp_desc=kp_desc,
+            kp_depth=z(n, np.float32), kp_ur=z(n, np.float32),
+            kp_valid=kp_valid,
+            ln_ep=z((nl, 2, 2), np.float32),
+            ln_ep_un=z((nl, 2, 2), np.float32),
+            ln_angle=z(nl, np.float32), ln_length=z(nl, np.float32),
+            ln_coeff=z((nl, 3), np.float32), ln_desc=z((nl, 32), np.uint8),
+            ln_depth=z((nl, 2), np.float32), ln_valid=z(nl, bool),
+        )
+        m.add_keyframe(HostFrame(fd), np.eye(3, dtype=np.float32),
+                       np.zeros(3, np.float32), k, float(k))
+    pid = m.add_point([0, 0, 1], far, [0, 0, 1], 0.1, 10.0, 0)
+    for k in range(3):
+        m.add_point_obs(pid, k, 0)
+    assert refresh_distinctive_descriptors(m, [pid]) == 1
+    import jax
+
+    got = np.asarray(jax.device_get(m.point_desc_arena()))[pid]
+    # base and mid tie closely; far must lose. Accept base or mid.
+    assert np.array_equal(got, base) or np.array_equal(got, mid)
+    assert not np.array_equal(got, far)

@@ -96,3 +96,31 @@ class TestSystem:
         out = tmp_path / "map.png"
         viewer.draw_map(slam.map, slam.tracker.trajectory, str(out))
         assert out.exists() and out.stat().st_size > 1000
+
+
+def test_structured_tracing(tmp_path):
+    import json
+
+    import numpy as np
+
+    from plslam_tpu.config import SlamConfig
+    from plslam_tpu.geometry.projection import Camera
+    from plslam_tpu.models.system import System
+    from plslam_tpu.utils.synthetic import RoomScene, smooth_trajectory
+
+    cfg = SlamConfig(camera=Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
+                                   bf=40.0))
+    path = str(tmp_path / "trace.jsonl")
+    slam = System(cfg, trace_path=path)
+    scene = RoomScene(0)
+    poses = smooth_trajectory(20)[:10]
+    for i, (R, t) in enumerate(poses):
+        g, d = scene.render(cfg.camera, R, t)
+        slam.track_rgbd(g, d, i / 30.0)
+    slam.shutdown()
+    recs = [json.loads(l) for l in open(path)]
+    frames = [r for r in recs if r["kind"] == "frame"]
+    assert len(frames) >= 4
+    assert all({"frame", "state", "local_inliers", "n_kf"} <= set(r)
+               for r in frames)
+    assert any(r["kf"] for r in frames) or frames[-1]["n_kf"] >= 1
