@@ -153,6 +153,10 @@ class LocalMapper:
             # CreateNewMapPoints (epipolar, beyond the depth range) —
             # cheap no-op while the sensor covers the scene
             self.triangulator.create_new_points(kf, mapper=self)
+            # CreateNewMapLines (LocalMapping.cc:668-916)
+            from .triangulation import create_new_lines
+
+            create_new_lines(self.cfg, self.map, kf, mapper=self)
         self.fuse(kf)
         if self.enable_ba and self.map.n_kf > 2:
             self.run_local_ba(kf)

@@ -214,3 +214,161 @@ class Triangulator:
                         kf, np.array(new_pids, np.int32),
                         np.zeros(0, np.int32))
         return created
+
+
+LINE_DESC_TH = 60   # LBD distance gate (LineMatcher SearchForTriangulation)
+LINE_ANGLE_TH = 15.0 * np.pi / 180.0
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def triangulate_lines_pair_step(
+    cfg: SlamConfig,
+    # keyframe 1 (the new KF): lines
+    ep1, coeff1, angle1, desc1, cand1,
+    R1, t1,
+    # keyframe 2: lines
+    ep2, coeff2, angle2, desc2, cand2,
+    R2, t2,
+    median_depth2,
+):
+    """CreateNewMapLines (LocalMapping.cc:668-916) for one KF pair: match
+    lines (LBD + angle gate), then triangulate EACH endpoint of line1 from
+    the two back-projected line planes (coeff^T K [R|t]) plus the
+    endpoint's own ray rows — the reference's two sequential 4x4
+    cv::SVD::compute calls become one (NL, 2, 4, 4) batch. Acceptance:
+    scene-median-depth ratios and cheirality in both views (:816-900)."""
+    cam = cfg.camera
+
+    # --- match (desc + angle) -------------------------------------------
+    from ..ops import hamming
+
+    dist = hamming.hamming_matrix(desc1, desc2)
+    da = jnp.abs(angle1[:, None] - angle2[None, :])
+    da = jnp.minimum(da, jnp.pi - da)
+    gate = (cand1[:, None] & cand2[None, :] & (da < LINE_ANGLE_TH))
+    m = matching.best_matches(dist, gate, max_dist=LINE_DESC_TH,
+                              nn_ratio=0.9)
+    m = matching.dedupe_targets(m, ep2.shape[0])
+    idx2 = jnp.clip(m.idx, 0, ep2.shape[0] - 1)
+
+    K = _kmat(cam)
+    M1 = K @ jnp.concatenate([R1, t1[:, None]], -1)   # (3,4)
+    M2 = K @ jnp.concatenate([R2, t2[:, None]], -1)
+    row_l1 = coeff1 @ M1                               # (NL, 4)
+    row_l2 = coeff2[idx2] @ M2                         # (NL, 4)
+
+    def endpoint_rows(uv):
+        # normalized ray rows for an endpoint observed in KF1
+        x = (uv[:, 0] - cam.cx) / cam.fx
+        y = (uv[:, 1] - cam.cy) / cam.fy
+        Tcw1 = jnp.concatenate([R1, t1[:, None]], -1)  # (3,4)
+        r0 = x[:, None] * Tcw1[2] - Tcw1[0]
+        r1 = y[:, None] * Tcw1[2] - Tcw1[1]
+        return r0, r1
+
+    pts = []
+    for k in (0, 1):
+        r0, r1 = endpoint_rows(ep1[:, k])
+        A = jnp.stack([row_l1, row_l2, r0, r1], axis=1)  # (NL, 4, 4)
+        _, _, vt = jnp.linalg.svd(A)
+        Xh = vt[:, 3, :]
+        w = Xh[:, 3]
+        pts.append(Xh[:, :3] / jnp.where(jnp.abs(w) > 1e-9, w, 1e-9)[:, None])
+    s3d, e3d = pts
+
+    c1 = -(R1.T @ t1)
+    c2 = -(R2.T @ t2)
+    md = jnp.maximum(median_depth2, 1e-6)
+    ratio1 = jnp.linalg.norm(s3d - c1, axis=-1) / md
+    ratio2 = jnp.linalg.norm(s3d - c2, axis=-1) / md
+    ratio3 = jnp.linalg.norm(e3d - s3d, axis=-1) / md
+
+    def z_in(R, t, p):
+        return p @ R[2] + t[2]
+
+    ok = (m.ok
+          & (ratio1 >= 0.3) & (ratio2 >= 0.3) & (ratio3 <= 1.0)
+          & (z_in(R1, t1, s3d) > 0) & (z_in(R2, t2, s3d) > 0)
+          & (z_in(R1, t1, e3d) > 0) & (z_in(R2, t2, e3d) > 0))
+    ep_w = jnp.stack([s3d, e3d], axis=1)               # (NL, 2, 3)
+    return ep_w, idx2, ok
+
+
+def scene_median_depth(m, kf: int) -> float:
+    """KeyFrame::ComputeSceneMedianDepth(2): median z (in the keyframe's
+    camera frame) of its observed map points."""
+    pids = m.kf_pt_idx[kf]
+    pids = pids[pids >= 0]
+    pids = pids[m.pt_valid[pids]]
+    if len(pids) == 0:
+        return 0.0
+    z = m.pt_pos[pids] @ m.kf_R[kf][2] + m.kf_t[kf][2]
+    return float(np.median(z))
+
+
+def create_new_lines(cfg, m, kf: int, mapper=None) -> int:
+    """CreateNewMapLines host driver: triangulate unbound lines of the new
+    keyframe against its covisible neighbors (LocalMapping.cc:668-916).
+    Baseline gate: skip neighbors closer than ~1% of scene depth."""
+    neighbors = m.covisible_keyframes(kf, cfg.mapping.triangulation_neighbors)
+    if not neighbors:
+        return 0
+    host1 = m.kf_frames[kf]
+    if host1 is None or not host1.ln_valid.any():
+        return 0
+    fd1 = m.device_frame(kf)
+    cand1_np = host1.ln_valid & (m.kf_ln_idx[kf] < 0)
+    if not cand1_np.any():
+        return 0
+    c1 = m.kf_camera_center(kf)
+    created = 0
+    for okf in neighbors:
+        if created >= 64:
+            break
+        host2 = m.kf_frames[okf]
+        if host2 is None or not host2.ln_valid.any():
+            continue
+        md2 = scene_median_depth(m, okf)
+        baseline = float(np.linalg.norm(m.kf_camera_center(okf) - c1))
+        if md2 <= 0 or baseline / md2 < 0.01:
+            continue
+        fd2 = m.device_frame(okf)
+        cand2_np = host2.ln_valid & (m.kf_ln_idx[okf] < 0)
+        if not cand2_np.any():
+            continue
+        ep_w, idx2, ok = triangulate_lines_pair_step(
+            cfg,
+            fd1.ln_ep_un, fd1.ln_coeff, fd1.ln_angle, fd1.ln_desc,
+            jnp.asarray(cand1_np),
+            jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
+            fd2.ln_ep_un, fd2.ln_coeff, fd2.ln_angle, fd2.ln_desc,
+            jnp.asarray(cand2_np),
+            jnp.asarray(m.kf_R[okf]), jnp.asarray(m.kf_t[okf]),
+            jnp.float32(md2),
+        )
+        ep_w, idx2, ok = jax.device_get((ep_w, idx2, ok))
+        feats = np.nonzero(ok)[0]
+        if len(feats) == 0:
+            continue
+        new_feats, new_lids = [], []
+        for f in feats:
+            if m.kf_ln_idx[kf, f] >= 0:
+                continue
+            f2 = int(idx2[f])
+            if m.kf_ln_idx[okf, f2] >= 0:
+                continue
+            lid = m.add_line(ep_w[f], None, kf)
+            m.add_line_obs(lid, kf, int(f))
+            m.add_line_obs(lid, okf, f2)
+            new_feats.append(int(f))
+            new_lids.append(lid)
+            cand1_np[f] = False
+            created += 1
+        if new_lids:
+            m.scatter_line_descs_from(fd1.ln_desc,
+                                      np.array(new_feats, np.int32),
+                                      np.array(new_lids, np.int32))
+            if mapper is not None:
+                mapper.on_new_landmarks(kf, np.zeros(0, np.int32),
+                                        np.array(new_lids, np.int32))
+    return created

@@ -98,3 +98,83 @@ def test_no_candidates_is_cheap_noop():
                         np.zeros(3, np.float32), 0, 0.0)
     tri = triangulation.Triangulator(CFG, m)
     assert tri.create_new_points(kf) == 0
+
+
+def test_triangulates_lines():
+    """Two keyframes with matched 2D lines triangulate correct 3D
+    endpoints (CreateNewMapLines parity)."""
+    rng = np.random.default_rng(2)
+    cam = CFG.camera
+    n_ln = 12
+    # random 3D segments in front of both cameras
+    mid = rng.uniform([-1.5, -1, 4.0], [1.5, 1, 7.0], (n_ln, 3))
+    d = rng.normal(size=(n_ln, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ep = np.stack([mid - 0.4 * d, mid + 0.4 * d], 1).astype(np.float32)
+
+    R1 = np.eye(3, dtype=np.float32)
+    t1 = np.zeros(3, np.float32)
+    R2 = np.eye(3, dtype=np.float32)
+    t2 = np.array([-0.6, 0.05, 0.0], np.float32)
+
+    def proj(R, t, p):
+        pc = p @ R.T + t
+        return np.stack([cam.fx * pc[..., 0] / pc[..., 2] + cam.cx,
+                         cam.fy * pc[..., 1] / pc[..., 2] + cam.cy], -1)
+
+    from plslam_tpu.geometry.lines import line_equation_2d
+    import jax.numpy as jnp
+
+    NL = CFG.lines.max_lines
+    descs = rng.integers(0, 256, (n_ln, 32), np.uint8)
+
+    def frame(R, t):
+        uv = proj(R, t, ep).astype(np.float32)          # (n_ln, 2, 2)
+        z = np.zeros
+        ln_ep = z((NL, 2, 2), np.float32)
+        ln_desc = z((NL, 32), np.uint8)
+        ln_valid = z(NL, bool)
+        ln_angle = z(NL, np.float32)
+        ln_ep[:n_ln] = uv
+        ln_desc[:n_ln] = descs
+        ln_valid[:n_ln] = True
+        dxy = uv[:, 1] - uv[:, 0]
+        ln_angle[:n_ln] = np.arctan2(dxy[:, 1], dxy[:, 0])
+        coeff = np.asarray(line_equation_2d(jnp.asarray(ln_ep[:, 0]),
+                                            jnp.asarray(ln_ep[:, 1])))
+        n = CFG.orb.max_keypoints
+        return FrameData(
+            kp_xy=z((n, 2), np.float32), kp_xy_un=z((n, 2), np.float32),
+            kp_resp=z(n, np.float32), kp_octave=z(n, np.int32),
+            kp_angle=z(n, np.float32), kp_desc=z((n, 32), np.uint8),
+            kp_depth=z(n, np.float32), kp_ur=z(n, np.float32),
+            kp_valid=z(n, bool),
+            ln_ep=ln_ep, ln_ep_un=ln_ep, ln_angle=ln_angle,
+            ln_length=z(NL, np.float32),
+            ln_coeff=coeff.astype(np.float32), ln_desc=ln_desc,
+            ln_depth=z((NL, 2), np.float32), ln_valid=ln_valid,
+        )
+
+    m = SlamMap(CFG)
+    f1 = frame(R1, t1)
+    f2 = frame(R2, t2)
+    kf1 = m.add_keyframe(HostFrame(f1), R1, t1, 0, 0.0)
+    kf2 = m.add_keyframe(HostFrame(f2), R2, t2, 1, 1.0)
+    # shared map points for covisibility + median depth
+    for i in range(25):
+        pid = m.add_point(mid[i % n_ln], np.zeros(32, np.uint8), [0, 0, 1],
+                          0.1, 50.0, kf1)
+        m.add_point_obs(pid, kf1, i)
+        m.add_point_obs(pid, kf2, i)
+
+    from plslam_tpu.models.triangulation import create_new_lines
+
+    created = create_new_lines(CFG, m, kf2)
+    assert created >= 0.6 * n_ln
+    errs = []
+    for f in range(n_ln):
+        lid = m.kf_ln_idx[kf2, f]
+        if lid >= 0 and m.ln_valid[lid]:
+            errs.append(np.linalg.norm(m.ln_ep[lid] - ep[f], axis=-1).max())
+    assert len(errs) >= 0.6 * n_ln
+    assert np.median(errs) < 0.05
