@@ -63,8 +63,8 @@ class LoopCloser:
         for cand in cands:
             out = self._compute_relative(kf, cand)
             if out is not None:
-                R12, t12, pairs = out
-                self._correct_loop(kf, cand, R12, t12)
+                R12, t12, s12, pairs = out
+                self._correct_loop(kf, cand, R12, t12, s12)
                 self.n_loops_closed += 1
                 self.last_loop_kf = kf
                 return
@@ -140,6 +140,7 @@ class LoopCloser:
         )
         if int(n_inl) < self.cfg.loop.sim3_min_inliers:
             return None
+        s12 = float(s)
         R12 = np.asarray(R12)
         t12 = np.asarray(t12)
 
@@ -178,14 +179,19 @@ class LoopCloser:
         n_proj = int(np.asarray(fok)[:k].sum())
         if n_proj < LOOP_PROJ_ACCEPT:
             return None
-        return R12, t12, n_match
+        return R12, t12, s12, n_match
 
     # ---------------------------------------------------------- correction
-    def _correct_loop(self, kf1: int, kf2: int, R12, t12):
+    def _correct_loop(self, kf1: int, kf2: int, R12, t12, s12=1.0):
+        """Sim3 loop correction (LoopClosing::CorrectLoop). For RGB-D /
+        stereo ``s12`` is 1 (fix_scale); for monocular the similarity's
+        scale folds into the written SE3 poses as [R | t/s] — the
+        reference's CorrectedSim3 convention (LoopClosing.cc:700-760)."""
         m = self.map
-        # corrected current pose
+        # corrected current pose: S_1w = S_12 * S_2w, S_2w scale 1
         R1_corr = R12 @ m.kf_R[kf2]
-        t1_corr = R12 @ m.kf_t[kf2] + t12
+        t1_corr = s12 * (R12 @ m.kf_t[kf2]) + t12
+        s1_corr = s12
 
         # propagate to the current covisibility group (LoopClosing.cc:660-760)
         group = [kf1] + m.covisible_keyframes(kf1)
@@ -195,12 +201,13 @@ class LoopCloser:
         t1_old_inv = -R1_old_inv @ t1_old
         corrected_pts: set[int] = set()
         for k in group:
-            # T_k1 = T_kw_old ∘ T_1w_old^-1 ; T_kw_new = T_k1 ∘ T_1w_new
+            # S_k1 = T_kw_old * T_1w_old^-1 ; S_kw_new = S_k1 * S_1w_new
             Rk1 = m.kf_R[k] @ R1_old_inv
             tk1 = m.kf_R[k] @ t1_old_inv + m.kf_t[k]
             R_new = Rk1 @ R1_corr
-            t_new = Rk1 @ t1_corr + tk1
-            # correct this KF's map points: pw' = T_kw_new^-1 ∘ T_kw_old pw
+            t_new = Rk1 @ t1_corr + tk1  # S_k1 has unit scale
+            s_new = s1_corr
+            # correct this KF's landmarks: pw' = S_kw_new^-1 (T_kw_old pw)
             pids = m.kf_pt_idx[k]
             pids = pids[(pids >= 0)]
             pids = np.array(
@@ -210,8 +217,7 @@ class LoopCloser:
             if len(pids):
                 pw = m.pt_pos[pids]
                 pc = pw @ m.kf_R[k].T + m.kf_t[k]
-                Rwn = R_new.T
-                m.pt_pos[pids] = (pc - t_new) @ Rwn.T
+                m.pt_pos[pids] = ((pc - t_new) / s_new) @ R_new
                 corrected_pts.update(int(p) for p in pids)
             lids = m.kf_ln_idx[k]
             lids = lids[lids >= 0]
@@ -220,8 +226,9 @@ class LoopCloser:
                 for i in (0, 1):
                     ep = m.ln_ep[lids, i]
                     epc = ep @ m.kf_R[k].T + m.kf_t[k]
-                    m.ln_ep[lids, i] = (epc - t_new) @ R_new
-            m.set_kf_pose(k, R_new, t_new)
+                    m.ln_ep[lids, i] = ((epc - t_new) / s_new) @ R_new
+            # fold scale into SE3: [R | t/s] (CorrectedSim3 write-back)
+            m.set_kf_pose(k, R_new, t_new / s_new)
 
         # fuse duplicate landmarks between the loop sides
         if self.local_mapper is not None:
@@ -307,28 +314,44 @@ class LoopCloser:
             R_meas=jnp.asarray(Rm), t_meas=jnp.asarray(tm),
             w=jnp.asarray(w), e_valid=jnp.asarray(ev),
         )
-        Rn, tn = pose_graph.optimize_pose_graph(
-            prob, iters=self.cfg.loop.essential_graph_iters
-        )
+        if self.cfg.loop.fix_scale:
+            Rn, tn = pose_graph.optimize_pose_graph(
+                prob, iters=self.cfg.loop.essential_graph_iters
+            )
+            sn = np.ones(KCAP, np.float32)
+        else:
+            # monocular: 7-dof nodes absorb scale drift
+            # (OptimizeEssentialGraph fix_scale=false, Optimizer.cc:1135)
+            sprob = pose_graph.make_sim3_problem(KCAP, ECAP)
+            sprob = sprob._replace(
+                R=prob.R, t=prob.t, fixed=prob.fixed, valid=prob.valid,
+                ei=prob.ei, ej=prob.ej, R_meas=prob.R_meas,
+                t_meas=prob.t_meas, w=prob.w, e_valid=prob.e_valid,
+            )
+            Rn, tn, sn = pose_graph.optimize_pose_graph_sim3(
+                sprob, iters=self.cfg.loop.essential_graph_iters
+            )
+            sn = np.asarray(sn)
         Rn = np.asarray(Rn)
         tn = np.asarray(tn)
-        # apply + correct landmarks via their first KF's correction
+        # apply (mono: fold scale into SE3 as [R | t/s]) + correct
+        # landmarks via their first KF's Sim3 correction
         old_R = m.kf_R[:K].copy()
         old_t = m.kf_t[:K].copy()
         for k in range(K):
             if m.kf_valid[k]:
-                m.set_kf_pose(k, Rn[k], tn[k])
+                m.set_kf_pose(k, Rn[k], tn[k] / sn[k])
         pids = m.point_ids()
         ref_kf = np.clip(m.pt_first_kf[pids], 0, K - 1)
         for pid, rk in zip(pids, ref_kf):
             pc = old_R[rk] @ m.pt_pos[pid] + old_t[rk]
-            m.pt_pos[pid] = Rn[rk].T @ (pc - tn[rk])
+            m.pt_pos[pid] = Rn[rk].T @ ((pc - tn[rk]) / sn[rk])
         lids = m.line_ids()
         ref_lk = np.clip(m.ln_first_kf[lids], 0, K - 1)
         for lid, rk in zip(lids, ref_lk):
             for i in (0, 1):
                 pc = old_R[rk] @ m.ln_ep[lid, i] + old_t[rk]
-                m.ln_ep[lid, i] = Rn[rk].T @ (pc - tn[rk])
+                m.ln_ep[lid, i] = Rn[rk].T @ ((pc - tn[rk]) / sn[rk])
 
     def _global_ba(self, kf1: int):
         """Full-map BA (RunGlobalBundleAdjustment, LoopClosing.cc:972-1119)."""

@@ -147,3 +147,125 @@ def optimize_pose_graph(prob: PoseGraphProblem, iters: int = 20):
         gn_iter, (prob.R, prob.t, jnp.float32(1e-6)), None, length=iters
     )
     return R, t
+
+
+# ===========================================================================
+# Sim(3) variant — scale-drift-aware essential graph for monocular loops
+# (the reference's fix_scale=false path of OptimizeEssentialGraph:
+# VertexSim3Expmap with 7-dof updates, Optimizer.cc:1064-1399).
+# ===========================================================================
+
+from ..geometry import sim3 as _sim3
+
+
+class Sim3GraphProblem(NamedTuple):
+    R: jax.Array          # (K, 3, 3)
+    t: jax.Array          # (K, 3)
+    s: jax.Array          # (K,) scale (world->camera Sim3)
+    fixed: jax.Array
+    valid: jax.Array
+    ei: jax.Array
+    ej: jax.Array
+    R_meas: jax.Array     # (E, 3, 3) S_ij = S_i * S_j^-1 measured
+    t_meas: jax.Array
+    s_meas: jax.Array     # (E,)
+    w: jax.Array
+    e_valid: jax.Array
+
+
+def make_sim3_problem(K: int, E: int) -> Sim3GraphProblem:
+    z = jnp.zeros
+    return Sim3GraphProblem(
+        R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3)),
+        t=z((K, 3), jnp.float32), s=jnp.ones((K,), jnp.float32),
+        fixed=z((K,), bool), valid=z((K,), bool),
+        ei=z((E,), jnp.int32), ej=z((E,), jnp.int32),
+        R_meas=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (E, 3, 3)),
+        t_meas=z((E, 3), jnp.float32), s_meas=jnp.ones((E,), jnp.float32),
+        w=jnp.ones((E,), jnp.float32), e_valid=z((E,), bool),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def optimize_pose_graph_sim3(prob: Sim3GraphProblem, iters: int = 20):
+    """Damped GN over Sim3 nodes. Returns (R, t, s)."""
+    K = prob.R.shape[0]
+    zero = jnp.zeros(7)
+
+    def upd(xi, s, R, t):
+        ds, dR, dt = _sim3.exp(xi)
+        return _sim3.compose(ds, dR, dt, s, R, t)
+
+    def edge_residual(xi_i, xi_j, si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
+        si2, Ri2, ti2 = upd(xi_i, si, Ri, ti)
+        sj2, Rj2, tj2 = upd(xi_j, sj, Rj, tj)
+        sji, Rji, tji = _sim3.inverse(sj2, Rj2, tj2)
+        sr, Rr, tr = _sim3.compose(si2, Ri2, ti2, sji, Rji, tji)
+        smi, Rmi, tmi = _sim3.inverse(sm, Rm, tm)
+        se, Re, te = _sim3.compose(smi, Rmi, tmi, sr, Rr, tr)
+        return _sim3.log(se, Re, te)
+
+    def gn_iter(state, _):
+        R, t, s, lam = state
+        args = (s[prob.ei], R[prob.ei], t[prob.ei],
+                s[prob.ej], R[prob.ej], t[prob.ej],
+                prob.s_meas, prob.R_meas, prob.t_meas)
+
+        def rJ(si, Ri, ti, sj, Rj, tj, sm, Rm, tm):
+            r = edge_residual(zero, zero, si, Ri, ti, sj, Rj, tj, sm, Rm, tm)
+            Ji = jax.jacfwd(lambda x: edge_residual(
+                x, zero, si, Ri, ti, sj, Rj, tj, sm, Rm, tm))(zero)
+            Jj = jax.jacfwd(lambda x: edge_residual(
+                zero, x, si, Ri, ti, sj, Rj, tj, sm, Rm, tm))(zero)
+            return r, Ji, Jj
+
+        r, Ji, Jj = jax.vmap(rJ)(*args)
+        w = prob.w * prob.e_valid
+        JiW = Ji * w[:, None, None]
+        JjW = Jj * w[:, None, None]
+        H = jnp.zeros((K, K, 7, 7))
+        H = H.at[prob.ei, prob.ei].add(jnp.einsum("eri,erj->eij", JiW, Ji))
+        H = H.at[prob.ej, prob.ej].add(jnp.einsum("eri,erj->eij", JjW, Jj))
+        H = H.at[prob.ei, prob.ej].add(jnp.einsum("eri,erj->eij", JiW, Jj))
+        H = H.at[prob.ej, prob.ei].add(jnp.einsum("eri,erj->eij", JjW, Ji))
+        b = jnp.zeros((K, 7))
+        b = b.at[prob.ei].add(-jnp.einsum("eri,er->ei", JiW, r))
+        b = b.at[prob.ej].add(-jnp.einsum("eri,er->ei", JjW, r))
+
+        free = prob.valid & ~prob.fixed
+        mc = free.astype(jnp.float32)
+        H = H * mc[:, None, None, None] * mc[None, :, None, None]
+        H = H.at[jnp.arange(K), jnp.arange(K)].add(
+            jnp.eye(7)[None] * (1.0 - mc)[:, None, None])
+        b = b * mc[:, None]
+        Hd = H.transpose(0, 2, 1, 3).reshape(7 * K, 7 * K)
+        Hd = Hd + lam * jnp.diag(jnp.diagonal(Hd)) + 1e-8 * jnp.eye(7 * K)
+        xi = jnp.linalg.solve(Hd, b.reshape(-1)).reshape(K, 7)
+
+        sn, Rn, tn = jax.vmap(upd)(xi, s, R, t)
+        Rn = jax.vmap(se3.orthonormalize)(Rn)
+        keep = ~free
+        sn = jnp.where(keep, s, sn)
+        tn = jnp.where(keep[:, None], t, tn)
+        Rn = jnp.where(keep[:, None, None], R, Rn)
+
+        def cost(s, R, t):
+            rr = jax.vmap(lambda *a: edge_residual(zero, zero, *a))(
+                s[prob.ei], R[prob.ei], t[prob.ei],
+                s[prob.ej], R[prob.ej], t[prob.ej],
+                prob.s_meas, prob.R_meas, prob.t_meas)
+            return jnp.sum(jnp.sum(rr**2, -1) * w)
+
+        c0 = cost(s, R, t)
+        c1 = cost(sn, Rn, tn)
+        accept = (c1 < c0) & jnp.isfinite(c1)
+        R = jnp.where(accept, Rn, R)
+        t = jnp.where(accept, tn, t)
+        s = jnp.where(accept, sn, s)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-10, 1e3)
+        return (R, t, s, lam), None
+
+    (R, t, s, _), _ = jax.lax.scan(
+        gn_iter, (prob.R, prob.t, prob.s, jnp.float32(1e-6)), None,
+        length=iters)
+    return R, t, s

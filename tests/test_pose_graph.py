@@ -106,3 +106,78 @@ class TestPoseGraph:
         )
         Rn, tn = pose_graph.optimize_pose_graph(prob, iters=3)
         np.testing.assert_allclose(np.asarray(Rn[0]), np.eye(3), atol=1e-6)
+
+
+def test_sim3_pose_graph_corrects_scale_drift():
+    """Monocular essential graph: a loop edge with the true scale pulls
+    drifted per-node scales back (OptimizeEssentialGraph fix_scale=false)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plslam_tpu.geometry import sim3
+    from plslam_tpu.optim import pose_graph
+
+    rng = np.random.default_rng(0)
+    K = 8
+    # ground truth: cameras on a circle, unit scale
+    angles = np.linspace(0, 2 * np.pi, K, endpoint=False)
+    gt_R = []
+    gt_t = []
+    for a in angles:
+        R = np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                      [-np.sin(a), 0, np.cos(a)]], np.float32)
+        c = np.array([np.cos(a), 0.0, np.sin(a)], np.float32) * 2.0
+        gt_R.append(R)
+        gt_t.append((-R @ c).astype(np.float32))
+    gt_R = np.stack(gt_R)
+    gt_t = np.stack(gt_t)
+
+    # drifted estimate: scale grows 5%/step (mono scale drift)
+    est_s = (1.05 ** np.arange(K)).astype(np.float32)
+    est_R = gt_R.copy()
+    est_t = (gt_t * est_s[:, None]).astype(np.float32)
+
+    E = 16
+    prob = pose_graph.make_sim3_problem(K, E)
+    ei, ej, Rm, tm, sm, ev = [], [], [], [], [], []
+
+    def rel_true(i, j):  # S_ij from GROUND TRUTH (odometry measurements)
+        si, Ri, ti = 1.0, gt_R[i], gt_t[i]
+        sji, Rji, tji = sim3.inverse(1.0, jnp.asarray(gt_R[j]),
+                                     jnp.asarray(gt_t[j]))
+        return sim3.compose(si, jnp.asarray(Ri), jnp.asarray(ti),
+                            sji, Rji, tji)
+
+    for k in range(K - 1):  # chain
+        s_, R_, t_ = rel_true(k, k + 1)
+        ei.append(k); ej.append(k + 1)
+        sm.append(float(s_)); Rm.append(np.asarray(R_)); tm.append(np.asarray(t_))
+        ev.append(True)
+    # loop edge K-1 -> 0 with the true metric
+    s_, R_, t_ = rel_true(K - 1, 0)
+    ei.append(K - 1); ej.append(0)
+    sm.append(float(s_)); Rm.append(np.asarray(R_)); tm.append(np.asarray(t_))
+    ev.append(True)
+
+    n = len(ei)
+    prob = prob._replace(
+        R=jnp.asarray(est_R), t=jnp.asarray(est_t), s=jnp.asarray(est_s),
+        fixed=jnp.asarray(np.eye(1, K, 0, bool)[0]),
+        valid=jnp.ones(K, bool),
+        ei=jnp.asarray(np.pad(ei, (0, E - n)).astype(np.int32)),
+        ej=jnp.asarray(np.pad(ej, (0, E - n)).astype(np.int32)),
+        R_meas=jnp.asarray(np.pad(np.stack(Rm), ((0, E - n), (0, 0), (0, 0)))
+                           + np.eye(3) * np.pad(np.zeros(n), (0, E - n),
+                                                constant_values=1.0
+                                                )[:, None, None]),
+        t_meas=jnp.asarray(np.pad(np.stack(tm), ((0, E - n), (0, 0)))),
+        s_meas=jnp.asarray(np.pad(sm, (0, E - n), constant_values=1.0
+                                  ).astype(np.float32)),
+        e_valid=jnp.asarray(np.pad(ev, (0, E - n)).astype(bool)),
+    )
+    R, t, s = pose_graph.optimize_pose_graph_sim3(prob, iters=30)
+    R, t, s = np.asarray(R), np.asarray(t), np.asarray(s)
+    # scales pulled back to ~1, poses back to ground truth
+    assert np.abs(s - 1.0).max() < 0.02
+    assert np.abs(t - gt_t).max() < 0.05
+    assert np.abs(R - gt_R).max() < 0.05
