@@ -146,17 +146,21 @@ class LocalMapper:
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
+        # LOCK DISCIPLINE: the tracker's frame retirement takes this same
+        # lock every frame, so no stage may hold it across a device round
+        # trip (~30-80 ms on the tunneled TPU). Device work runs unlocked;
+        # each apply step re-validates against concurrent map changes.
         with self.lock:
             self.map.update_spanning_tree(kf)  # ProcessNewKeyFrame tail
             self.cull_points(kf)
             self.cull_lines(kf)
-            # CreateNewMapPoints (epipolar, beyond the depth range) —
-            # cheap no-op while the sensor covers the scene
-            self.triangulator.create_new_points(kf, mapper=self)
-            # CreateNewMapLines (LocalMapping.cc:668-916)
-            from .triangulation import create_new_lines
+        # CreateNewMapPoints (epipolar, beyond the depth range) —
+        # cheap no-op while the sensor covers the scene
+        self.triangulator.create_new_points(kf, mapper=self, lock=self.lock)
+        # CreateNewMapLines (LocalMapping.cc:668-916)
+        from .triangulation import create_new_lines
 
-            create_new_lines(self.cfg, self.map, kf, mapper=self)
+        create_new_lines(self.cfg, self.map, kf, mapper=self, lock=self.lock)
         self.fuse(kf)
         if self.enable_ba and self.map.n_kf > 2:
             self.run_local_ba(kf)
@@ -252,29 +256,34 @@ class LocalMapper:
     # --------------------------------------------------------------- fusion
     def fuse(self, kf: int):
         """SearchInNeighbors: merge duplicate landmarks between the new KF
-        and its 2-level covisibility neighborhood."""
-        with self.lock:
-            self._fuse_locked(kf)
+        and its 2-level covisibility neighborhood. Candidate harvesting and
+        merge application hold the map lock; the projection kernels and
+        their round trips run unlocked so the tracker keeps retiring
+        frames."""
+        self._fuse_impl(kf)
 
-    def _fuse_locked(self, kf: int):
+    def _fuse_impl(self, kf: int):
         m = self.map
         touched: list[int] = []  # landmarks whose observation set changed
-        neighbors = m.covisible_keyframes(kf, self.cfg.mapping.triangulation_neighbors)
-        ext = list(neighbors)
-        seen = set(ext) | {kf}
-        for n1 in neighbors[:5]:
-            for n2 in m.covisible_keyframes(n1, 5):
-                if n2 not in seen:
-                    ext.append(n2)
-                    seen.add(n2)
-        if not ext:
-            return
-        # candidate points: observed by neighbors but not by the new KF
-        own = set(int(p) for p in m.kf_pt_idx[kf] if p >= 0)
-        cand = np.unique(m.kf_pt_idx[ext])
-        cand = cand[cand >= 0]
-        cand = np.array([p for p in cand if m.pt_valid[p] and int(p) not in own],
-                        np.int32)
+        with self.lock:
+            neighbors = m.covisible_keyframes(
+                kf, self.cfg.mapping.triangulation_neighbors)
+            ext = list(neighbors)
+            seen = set(ext) | {kf}
+            for n1 in neighbors[:5]:
+                for n2 in m.covisible_keyframes(n1, 5):
+                    if n2 not in seen:
+                        ext.append(n2)
+                        seen.add(n2)
+            if not ext:
+                return
+            # candidate points: observed by neighbors but not by the new KF
+            own = set(int(p) for p in m.kf_pt_idx[kf] if p >= 0)
+            cand = np.unique(m.kf_pt_idx[ext])
+            cand = cand[cand >= 0]
+            cand = np.array(
+                [p for p in cand if m.pt_valid[p] and int(p) not in own],
+                np.int32)
         if len(cand) > 0:
             cand = cand[: self._fuse_cap]
             fdv = m.device_frame(kf)  # features stay in HBM — no re-upload
@@ -298,25 +307,28 @@ class LocalMapper:
                 jnp.asarray(maxd), jnp.asarray(valid),
                 jnp.asarray(m.kf_R[kf]), jnp.asarray(m.kf_t[kf]),
             )
-            idx, ok = jax.device_get((idx, ok))  # ONE sync round trip
+            idx, ok = jax.device_get((idx, ok))  # sync OUTSIDE the lock
             ok = ok.copy()
             ok[k:] = False
-            for i in np.nonzero(ok)[0]:
-                pid = int(cand[i])
-                feat = int(idx[i])
-                bound = int(m.kf_pt_idx[kf, feat])
-                if bound < 0:
-                    m.add_point_obs(pid, kf, feat)
-                    touched.append(pid)
-                elif bound != pid and m.pt_valid[bound]:
-                    # merge: keep the better-observed landmark (Replace)
-                    winner, loser = (
-                        (pid, bound)
-                        if len(m.pt_obs[pid]) >= len(m.pt_obs[bound])
-                        else (bound, pid)
-                    )
-                    self.replace_point(loser, winner)
-                    touched.append(winner)
+            with self.lock:
+                for i in np.nonzero(ok)[0]:
+                    pid = int(cand[i])
+                    feat = int(idx[i])
+                    if not m.pt_valid[pid]:
+                        continue  # erased while unlocked
+                    bound = int(m.kf_pt_idx[kf, feat])
+                    if bound < 0:
+                        m.add_point_obs(pid, kf, feat)
+                        touched.append(pid)
+                    elif bound != pid and m.pt_valid[bound]:
+                        # merge: keep the better-observed landmark (Replace)
+                        winner, loser = (
+                            (pid, bound)
+                            if len(m.pt_obs[pid]) >= len(m.pt_obs[bound])
+                            else (bound, pid)
+                        )
+                        self.replace_point(loser, winner)
+                        touched.append(winner)
 
         # ---- reverse direction / two-view confirmation: project the new
         # KF's landmarks into the neighbor keyframes (the second half of
@@ -329,9 +341,10 @@ class LocalMapper:
         # 5px window than Fuse's 3px accounts for detector jitter across
         # view change, like the triangulation path's epipolar (not window)
         # gating in the reference.
-        own_pids = m.kf_pt_idx[kf]
-        own_pids = own_pids[own_pids >= 0]
-        own_pids = own_pids[m.pt_valid[own_pids]][: 2048]
+        with self.lock:
+            own_pids = m.kf_pt_idx[kf]
+            own_pids = own_pids[own_pids >= 0]
+            own_pids = own_pids[m.pt_valid[own_pids]][: 2048]
         if len(own_pids) == 0 or not ext:
             self._refresh_descriptors(touched)
             return
@@ -372,38 +385,44 @@ class LocalMapper:
             jnp.asarray(Rs), jnp.asarray(ts),
             radius_px=5.0,
         )
-        idx2, ok2 = jax.device_get((idx2, ok2))  # ONE sync round trip
+        idx2, ok2 = jax.device_get((idx2, ok2))  # sync OUTSIDE the lock
         ok2 = ok2.copy()
         ok2[:, k2:] = False
-        for ki, okf in enumerate(targets):
-            for i in np.nonzero(ok2[ki])[0]:
-                pid = int(own_pids[i])
-                if not m.pt_valid[pid]:
-                    continue
-                feat = int(idx2[ki, i])
-                bound = int(m.kf_pt_idx[okf, feat])
-                if bound < 0:
-                    m.add_point_obs(pid, okf, feat)
-                    touched.append(pid)
-                elif bound != pid and m.pt_valid[bound]:
-                    # prefer the older landmark on ties (stability)
-                    winner, loser = (
-                        (bound, pid)
-                        if len(m.pt_obs[bound]) >= len(m.pt_obs[pid])
-                        else (pid, bound)
-                    )
-                    self.replace_point(loser, winner)
-                    touched.append(winner)
+        with self.lock:
+            for ki, okf in enumerate(targets):
+                if not m.kf_valid[okf]:
+                    continue  # culled while unlocked
+                for i in np.nonzero(ok2[ki])[0]:
+                    pid = int(own_pids[i])
+                    if not m.pt_valid[pid]:
+                        continue
+                    feat = int(idx2[ki, i])
+                    bound = int(m.kf_pt_idx[okf, feat])
+                    if bound < 0:
+                        m.add_point_obs(pid, okf, feat)
+                        touched.append(pid)
+                    elif bound != pid and m.pt_valid[bound]:
+                        # prefer the older landmark on ties (stability)
+                        winner, loser = (
+                            (bound, pid)
+                            if len(m.pt_obs[bound]) >= len(m.pt_obs[pid])
+                            else (pid, bound)
+                        )
+                        self.replace_point(loser, winner)
+                        touched.append(winner)
         self._refresh_descriptors(touched)
 
     def _refresh_descriptors(self, touched):
         """ComputeDistinctiveDescriptors over the landmarks the fusion
-        pass touched (MapPoint.cc semantics; see models.distinctive)."""
+        pass touched (MapPoint.cc semantics; see models.distinctive).
+        Holds the lock: the prep walks pt_obs dicts the tracker mutates,
+        and the device side is enqueue-only (no sync round trip)."""
         if not touched:
             return
         from .distinctive import refresh_distinctive_descriptors
 
-        refresh_distinctive_descriptors(self.map, sorted(set(touched)))
+        with self.lock:
+            refresh_distinctive_descriptors(self.map, sorted(set(touched)))
 
     def replace_point(self, loser: int, winner: int):
         """MapPoint::Replace (MapPoint.cc): rebind all observations."""

@@ -22,6 +22,7 @@ sequential cv::SVDecomp calls become two MXU/VPU batches.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -146,20 +147,24 @@ class Triangulator:
         self.cfg = cfg
         self.map = slam_map
 
-    def create_new_points(self, kf: int, mapper=None) -> int:
+    def create_new_points(self, kf: int, mapper=None, lock=None) -> int:
         """Triangulate beyond-depth-range points for a new keyframe against
-        its best covisible neighbors. Returns the number created."""
+        its best covisible neighbors. Returns the number created.
+        ``lock`` (the mapper's map lock) is held only around snapshotting
+        and map mutation — never across the device round trips."""
         m = self.map
-        neighbors = m.covisible_keyframes(
-            kf, self.cfg.mapping.triangulation_neighbors)
-        if not neighbors:
-            return 0
+        lock = lock or contextlib.nullcontext()
+        with lock:
+            neighbors = m.covisible_keyframes(
+                kf, self.cfg.mapping.triangulation_neighbors)
+            if not neighbors:
+                return 0
+            host1 = m.kf_frames[kf]
+            row1 = m.kf_pt_idx[kf]
+            cand1_np = (host1.kp_valid & ~(host1.kp_depth > 0) & (row1 < 0))
+            if not cand1_np.any():
+                return 0
         fd1 = m.device_frame(kf)
-        host1 = m.kf_frames[kf]
-        row1 = m.kf_pt_idx[kf]
-        cand1_np = (host1.kp_valid & ~(host1.kp_depth > 0) & (row1 < 0))
-        if not cand1_np.any():
-            return 0
         created = 0
         for okf in neighbors:
             if created >= 256:
@@ -185,6 +190,8 @@ class Triangulator:
             c1 = m.kf_camera_center(kf)
             new_feats = []
             new_pids = []
+            apply_lock = lock
+            apply_lock.__enter__()
             for f in feats:
                 if m.kf_pt_idx[kf, f] >= 0:
                     continue  # a previous neighbor already bound it
@@ -205,6 +212,7 @@ class Triangulator:
                 new_pids.append(pid)
                 cand1_np[f] = False
                 created += 1
+            apply_lock.__exit__(None, None, None)
             if new_pids:
                 m.scatter_point_descs_from(
                     fd1.kp_desc, np.array(new_feats, np.int32),
@@ -306,20 +314,26 @@ def scene_median_depth(m, kf: int) -> float:
     return float(np.median(z))
 
 
-def create_new_lines(cfg, m, kf: int, mapper=None) -> int:
+def create_new_lines(cfg, m, kf: int, mapper=None, lock=None) -> int:
     """CreateNewMapLines host driver: triangulate unbound lines of the new
     keyframe against its covisible neighbors (LocalMapping.cc:668-916).
-    Baseline gate: skip neighbors closer than ~1% of scene depth."""
-    neighbors = m.covisible_keyframes(kf, cfg.mapping.triangulation_neighbors)
-    if not neighbors:
-        return 0
-    host1 = m.kf_frames[kf]
-    if host1 is None or not host1.ln_valid.any():
-        return 0
+    Baseline gate: skip neighbors closer than ~1% of scene depth. ``lock``
+    is held only around snapshots and mutation, not device round trips."""
+    import contextlib as _ctx
+
+    lock = lock or _ctx.nullcontext()
+    with lock:
+        neighbors = m.covisible_keyframes(
+            kf, cfg.mapping.triangulation_neighbors)
+        if not neighbors:
+            return 0
+        host1 = m.kf_frames[kf]
+        if host1 is None or not host1.ln_valid.any():
+            return 0
+        cand1_np = host1.ln_valid & (m.kf_ln_idx[kf] < 0)
+        if not cand1_np.any():
+            return 0
     fd1 = m.device_frame(kf)
-    cand1_np = host1.ln_valid & (m.kf_ln_idx[kf] < 0)
-    if not cand1_np.any():
-        return 0
     c1 = m.kf_camera_center(kf)
     created = 0
     for okf in neighbors:
@@ -351,6 +365,7 @@ def create_new_lines(cfg, m, kf: int, mapper=None) -> int:
         if len(feats) == 0:
             continue
         new_feats, new_lids = [], []
+        lock.__enter__()
         for f in feats:
             if m.kf_ln_idx[kf, f] >= 0:
                 continue
@@ -364,6 +379,7 @@ def create_new_lines(cfg, m, kf: int, mapper=None) -> int:
             new_lids.append(lid)
             cand1_np[f] = False
             created += 1
+        lock.__exit__(None, None, None)
         if new_lids:
             m.scatter_line_descs_from(fd1.ln_desc,
                                       np.array(new_feats, np.int32),
