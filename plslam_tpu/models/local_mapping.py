@@ -439,7 +439,8 @@ class LocalMapper:
         m.pt_valid[loser] = False
 
     # ------------------------------------------------------------- local BA
-    def run_local_ba(self, kf: int, window: int | None = None):
+    def run_local_ba(self, kf: int, window: int | None = None,
+                     obs_cap: int | None = None):
         """Gather the covisibility-local BA problem (under the map lock),
         run the stepped Schur LM with the lock RELEASED — one XLA program
         per iteration so the tracker's frame dispatches interleave, aborting
@@ -458,7 +459,7 @@ class LocalMapper:
         window = window or mc.local_ba_window
         C_max = window + mc.local_ba_fixed_cap
         P = mc.local_ba_point_cap
-        O = mc.local_ba_obs_cap
+        O = obs_cap or mc.local_ba_obs_cap
         L = 256
         OL = 1024
 
@@ -501,32 +502,42 @@ class LocalMapper:
             cam_fixed[0] = True  # gauge
 
         scale = self.cfg.orb.scale_factor
-        pt_index = {int(p): i for i, p in enumerate(pids)}
-        oc, op, ouv, our, ow, oval = [], [], [], [], [], []
-        for i, pid in enumerate(pids):
-            for okf, feat in m.pt_obs[pid].items():
-                ci = cam_index.get(okf)
-                if ci is None or len(oc) >= O:
-                    continue
-                hf = m.kf_frames[okf]
-                oc.append(ci)
-                op.append(i)
-                ouv.append(hf.kp_xy_un[feat])
-                our.append(hf.kp_ur[feat])
-                ow.append((1.0 / scale**2) ** int(hf.kp_octave[feat]))
-                oval.append(True)
-        lc, ll, luv, lw, lval = [], [], [], [], []
-        for i, lid in enumerate(lids):
-            for okf, feat in m.ln_obs[lid].items():
-                ci = cam_index.get(okf)
-                if ci is None or len(lc) >= OL:
-                    continue
-                hf = m.kf_frames[okf]
-                lc.append(ci)
-                ll.append(i)
-                luv.append(hf.ln_ep_un[feat])
-                lw.append(1.0)
-                lval.append(True)
+        # vectorized observation gather: kf_pt_idx IS the inverse
+        # observation map, so the whole obs list is one (nC, N) mask +
+        # nonzero — the reference's per-point dict walks
+        # (Optimizer.cc:700-800) at numpy speed
+        lut = np.full(m.pt_pos.shape[0], -1, np.int32)
+        lut[pids] = np.arange(len(pids), dtype=np.int32)
+        rows = m.kf_pt_idx[cams]                       # (nC, N)
+        pidx = lut[np.clip(rows, 0, None)]
+        obs_mask = (rows >= 0) & (pidx >= 0)
+        ci_arr, feat_arr = np.nonzero(obs_mask)
+        if len(ci_arr) > O:
+            ci_arr, feat_arr = ci_arr[:O], feat_arr[:O]
+        xy_s = np.stack([m.kf_frames[c].kp_xy_un for c in cams])
+        ur_s = np.stack([m.kf_frames[c].kp_ur for c in cams])
+        oct_s = np.stack([m.kf_frames[c].kp_octave for c in cams])
+        oc = ci_arr.astype(np.int32)
+        op = pidx[ci_arr, feat_arr].astype(np.int32)
+        ouv = xy_s[ci_arr, feat_arr]
+        our = ur_s[ci_arr, feat_arr]
+        ow = (1.0 / scale**2) ** oct_s[ci_arr, feat_arr].astype(np.float32)
+        oval = np.ones(len(oc), bool)
+
+        llut = np.full(m.ln_ep.shape[0], -1, np.int32)
+        llut[lids] = np.arange(len(lids), dtype=np.int32)
+        lrows = m.kf_ln_idx[cams]                      # (nC, NL)
+        lidx = llut[np.clip(lrows, 0, None)]
+        lmask = (lrows >= 0) & (lidx >= 0)
+        lci, lfeat = np.nonzero(lmask)
+        if len(lci) > OL:
+            lci, lfeat = lci[:OL], lfeat[:OL]
+        lep_s = np.stack([m.kf_frames[c].ln_ep_un for c in cams])
+        lc = lci.astype(np.int32)
+        ll = lidx[lci, lfeat].astype(np.int32)
+        luv = lep_s[lci, lfeat]
+        lw = np.ones(len(lc), np.float32)
+        lval = np.ones(len(lc), bool)
         if len(oc) < 20:
             self.lock.release()
             return

@@ -239,7 +239,7 @@ class LoopCloser:
         self._optimize_essential_graph(kf1, kf2, set(group))
 
         # global BA (reference spawns a thread; sequential pass here)
-        if self.enable_gba and self.map.n_kf <= 60:
+        if self.enable_gba and self.map.n_kf <= 250:
             self._global_ba(kf1)
         m.big_change_idx += 1
         if self.tracker is not None and self.tracker.last_kf == kf1:
@@ -354,8 +354,11 @@ class LoopCloser:
                 m.ln_ep[lid, i] = Rn[rk].T @ ((pc - tn[rk]) / sn[rk])
 
     def _global_ba(self, kf1: int):
-        """Full-map BA (RunGlobalBundleAdjustment, LoopClosing.cc:972-1119)."""
+        """Full-map BA (RunGlobalBundleAdjustment, LoopClosing.cc:972-1119).
+        The vectorized observation gather + dense Schur on the MXU keep
+        this a single pass up to ~250 keyframes (the reduced camera system
+        at C=256 is a 1536x1536 solve — trivial for the TPU)."""
         if self.local_mapper is None:
             return
         # reuse the local-BA gatherer with the window covering all KFs
-        self.local_mapper.run_local_ba(kf1, window=64)
+        self.local_mapper.run_local_ba(kf1, window=256, obs_cap=65536)
