@@ -86,6 +86,11 @@ class TrackingConfig:
     # becomes a keyframe, points get culled young, and covisibility starves).
     min_frames_between_kf: int = 3
     max_frames_between_kf: int = 30       # fps (Tracking.cc:90-95)
+    # gray bits on the wire: uploads dominate the tunneled-TPU frame loop
+    # and the transport compresses, so shipping 6-bit gray (top bits) cuts
+    # the dominant stream ~30% for <0.1cm ATE cost on the e2e harness.
+    # 8 = lossless.
+    gray_wire_bits: int = 6
     th_depth: float = 40.0 / 12.5         # bf * ThDepth/fx semantic; set via yaml
     depth_map_factor: float = 5000.0
     rgb_order: bool = False               # Camera.RGB

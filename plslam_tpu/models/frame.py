@@ -59,6 +59,15 @@ def _uncumsum2(a: jax.Array, dtype) -> jax.Array:
     return jnp.cumsum(b, axis=1).astype(dtype)
 
 
+def _unquantize_gray(gray: jax.Array, cfg: SlamConfig) -> jax.Array:
+    """Undo the wire's bit-depth reduction: shift back up and add the
+    half-step so intensities stay centred (tracking._quantize_inputs)."""
+    shift = 8 - cfg.tracking.gray_wire_bits
+    if shift <= 0:
+        return gray
+    return (gray << shift) + jnp.uint8(1 << (shift - 1))
+
+
 def _sample_depth(depth: jax.Array, xy: jax.Array, hw: tuple[int, int]) -> jax.Array:
     """Depth at rounded pixel coords (reference samples the raw map directly,
     Frame.cc:1080). ``depth`` may be shipped at a coarser resolution than the
@@ -84,7 +93,7 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig,
     # (PNG Sub filter — the transport compresses, and gradient rows have much
     # lower entropy than pixels); undo with an exact mod-2^k cumulative sum.
     if wire:
-        gray = _uncumsum2(gray, jnp.uint8)
+        gray = _unquantize_gray(_uncumsum2(gray, jnp.uint8), cfg)
         depth = _uncumsum2(depth, jnp.uint16)
     if gray.dtype == jnp.uint8:
         gray = gray.astype(jnp.float32)
@@ -171,8 +180,8 @@ def build_frame_stereo(gray_l: jax.Array, gray_r: jax.Array, cfg: SlamConfig,
     cam = cfg.camera
     hw = (cam.height, cam.width)
     if wire:
-        gray_l = _uncumsum2(gray_l, jnp.uint8)
-        gray_r = _uncumsum2(gray_r, jnp.uint8)
+        gray_l = _unquantize_gray(_uncumsum2(gray_l, jnp.uint8), cfg)
+        gray_r = _unquantize_gray(_uncumsum2(gray_r, jnp.uint8), cfg)
     gl = gray_l.astype(jnp.float32)
     gr = gray_r.astype(jnp.float32)
 

@@ -361,6 +361,64 @@ class SlamMap:
         out = [okf for _, okf in ordered]
         return out[:k] if k is not None else out
 
+    # ------------------------------------------------------------ compaction
+    def compact(self):
+        """Reclaim erased landmark slots: survivors move to a dense prefix
+        and every id-bearing structure is remapped. Monotonic allocation
+        (see _pt_next) makes this necessary for unbounded runs; it must be
+        called at a SAFE SYNC POINT — no in-flight frames, mapper idle —
+        because device-resident slot tables hold landmark ids
+        (System.compact_map orchestrates that). Returns (pt_map, ln_map):
+        old-id -> new-id arrays (-1 for erased)."""
+        import jax.numpy as jnp
+
+        pt_map = np.full(self.pt_pos.shape[0], -1, np.int32)
+        old_p = np.nonzero(self.pt_valid)[0]
+        pt_map[old_p] = np.arange(len(old_p), dtype=np.int32)
+        for name in ("pt_pos", "pt_desc", "pt_normal", "pt_min_dist",
+                     "pt_max_dist", "pt_valid", "pt_first_kf",
+                     "pt_visible", "pt_found"):
+            arr = getattr(self, name)
+            moved = arr[old_p]
+            arr[:] = 0
+            arr[: len(old_p)] = moved
+        self.pt_valid[: len(old_p)] = True
+        new_obs = [self.pt_obs[p] for p in old_p]
+        new_obs += [dict() for _ in range(len(self.pt_obs) - len(old_p))]
+        self.pt_obs = new_obs
+        self._pt_next = len(old_p)
+        if self._pt_desc_dev is not None:
+            pad = np.zeros(self.pt_pos.shape[0], np.int32)
+            pad[: len(old_p)] = old_p
+            self._pt_desc_dev = self._pt_desc_dev[jnp.asarray(pad)]
+        # keyframe match tables
+        self.kf_pt_idx[:] = np.where(
+            self.kf_pt_idx >= 0,
+            pt_map[np.clip(self.kf_pt_idx, 0, None)], -1)
+
+        ln_map = np.full(self.ln_ep.shape[0], -1, np.int32)
+        old_l = np.nonzero(self.ln_valid)[0]
+        ln_map[old_l] = np.arange(len(old_l), dtype=np.int32)
+        for name in ("ln_ep", "ln_desc", "ln_valid", "ln_first_kf",
+                     "ln_visible", "ln_found"):
+            arr = getattr(self, name)
+            moved = arr[old_l]
+            arr[:] = 0
+            arr[: len(old_l)] = moved
+        self.ln_valid[: len(old_l)] = True
+        new_lobs = [self.ln_obs[l] for l in old_l]
+        new_lobs += [dict() for _ in range(len(self.ln_obs) - len(old_l))]
+        self.ln_obs = new_lobs
+        self._ln_next = len(old_l)
+        if self._ln_desc_dev is not None:
+            pad = np.zeros(self.ln_ep.shape[0], np.int32)
+            pad[: len(old_l)] = old_l
+            self._ln_desc_dev = self._ln_desc_dev[jnp.asarray(pad)]
+        self.kf_ln_idx[:] = np.where(
+            self.kf_ln_idx >= 0,
+            ln_map[np.clip(self.kf_ln_idx, 0, None)], -1)
+        return pt_map, ln_map
+
     # ------------------------------------------------------------ statistics
     def n_points(self) -> int:
         return int(self.pt_valid.sum())

@@ -130,6 +130,35 @@ class System:
             lm.shutdown()
         self.tracer.close()
 
+    def compact_map(self):
+        """Reclaim erased landmark arena slots (unbounded-run support).
+        Drains the tracking pipeline and pauses at a safe sync point, then
+        remaps the tracker's id tables and rebuilds its device local map."""
+        tr = self.tracker
+        tr.flush()
+        lm = self.local_mapper
+        if hasattr(lm, "wait_idle"):
+            lm.wait_idle(timeout=30.0)
+        with tr._map_lock:
+            pt_map, ln_map = self.map.compact()
+            if tr.last_pt_ids is not None:
+                ids = tr.last_pt_ids
+                tr.last_pt_ids = np.where(
+                    ids >= 0, pt_map[np.clip(ids, 0, None)], -1)
+            if tr.last_ln_ids is not None:
+                ids = tr.last_ln_ids
+                tr.last_ln_ids = np.where(
+                    ids >= 0, ln_map[np.clip(ids, 0, None)], -1)
+            base = lm.inner if hasattr(lm, "inner") else lm
+            base.recent_points = [
+                (int(pt_map[p]), born) for p, born in base.recent_points
+                if pt_map[p] >= 0]
+            base.recent_lines = [
+                (int(ln_map[l]), born) for l, born in base.recent_lines
+                if ln_map[l] >= 0]
+            if tr.state == 1 and tr.last_pt_ids is not None:
+                tr._refresh_local_map(tr.last_pt_ids, tr.last_ln_ids)
+
     def save_map(self, path: str):
         """Persist the world model (no reference analogue — ORB-SLAM2
         famously cannot save maps; see utils.checkpoint)."""

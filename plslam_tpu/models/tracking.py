@@ -717,10 +717,15 @@ class Tracker:
         depth = np.asarray(depth)
         if gray.dtype != np.uint8:
             gray = np.clip(gray, 0, 255).astype(np.uint8)
+        gbits = self.cfg.tracking.gray_wire_bits
+        if gbits < 8:
+            gray = gray >> (8 - gbits)
         if self.sensor == "stereo":
             # second input is the RIGHT image: same uint8 wire format
             if depth.dtype != np.uint8:
                 depth = np.clip(depth, 0, 255).astype(np.uint8)
+            if gbits < 8:
+                depth = depth >> (8 - gbits)
             return _grad2(gray), _grad2(depth)
         h, w = depth.shape
         if depth.dtype != np.uint16:

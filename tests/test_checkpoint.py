@@ -82,3 +82,34 @@ def test_localization_against_loaded_map(tmp_path):
     c_est = -R.T @ t
     c_gt = R0 @ (-gt_R.T @ gt_t) + t0
     assert np.linalg.norm(c_est - c_gt) < 0.05
+
+
+def test_arena_compaction_mid_run():
+    """compact_map reclaims erased slots and tracking continues."""
+    cfg = _cfg()
+    scene = RoomScene(0)
+    n = 24
+    poses = smooth_trajectory(2 * n)[:n]
+    slam = System(cfg)
+    for i, (R, t) in enumerate(poses[: n // 2]):
+        g, d = scene.render(cfg.camera, R, t)
+        slam.track_rgbd(g, d, i / 30.0)
+    m = slam.map
+    before_next = m._pt_next
+    n_valid = m.n_points()
+    assert before_next > n_valid  # some points were culled/merged
+    slam.compact_map()
+    assert m._pt_next == m.n_points() == n_valid
+    # observations still consistent
+    for pid in m.point_ids()[:50]:
+        for kf, feat in m.pt_obs[pid].items():
+            assert m.kf_pt_idx[kf, feat] == pid
+    # tracking continues cleanly after compaction
+    ok = 0
+    for i, (R, t) in enumerate(poses[n // 2:]):
+        g, d = scene.render(cfg.camera, R, t)
+        if slam.track_rgbd(g, d, (n // 2 + i) / 30.0) is not None:
+            ok += 1
+    slam.shutdown()
+    assert slam.tracker.state == 1
+    assert ok >= n // 2 - 4
