@@ -584,16 +584,20 @@ class Tracker:
         self._ln_remap = self._id_ln
 
     # ------------------------------------------------------------------ API
-    def process(self, gray: np.ndarray, depth: np.ndarray, timestamp: float):
+    def process(self, gray: np.ndarray, depth: np.ndarray, timestamp: float,
+                precomputed_out: "FusedOut | None" = None):
         """Track one RGB-D frame.
 
         Pipelined lag-1: returns the PREVIOUS frame's (R, t) world-to-camera
         (or None). Call :meth:`flush` to drain the last in-flight frame.
-        """
+        ``precomputed_out``: a FusedOut computed externally (the batched
+        multi-sequence frontend vmaps the fused step over sequences and
+        hands each tracker its slice)."""
         self.frame_id += 1
-        gray, depth = self._quantize_inputs(gray, depth)
-        gray = jnp.asarray(gray)
-        depth = jnp.asarray(depth)
+        if precomputed_out is None:
+            gray, depth = self._quantize_inputs(gray, depth)
+            gray = jnp.asarray(gray)
+            depth = jnp.asarray(depth)
         if self.state == NOT_INITIALIZED:
             fd = (mframe.build_frame_stereo(gray, depth, self.cfg, wire=True)
                   if self.sensor == "stereo" else
@@ -620,7 +624,7 @@ class Tracker:
             return None
         # OK: dispatch this frame, then retire the oldest in-flight one —
         # the fetch latency rides on top of the newer frames' device compute
-        out = self._dispatch(gray, depth)
+        out = self._dispatch(gray, depth, out=precomputed_out)
         result = None
         if len(self._queue) >= self.pipeline_depth:
             pending = self._queue.pop(0)
@@ -672,16 +676,26 @@ class Tracker:
                 self.state = LOST
                 self.n_lost_frames += 1
 
-    def _dispatch(self, gray, depth) -> FusedOut:
+    def dispatch_args(self):
+        """The fused step's array arguments for this tracker's next frame
+        (minus the images) — the batched frontend stacks these across
+        sequences."""
+        return (self._prev_fd, self._prev_slot_pt, self._prev_slot_ln,
+                self._pt_remap, self._ln_remap,
+                self._R, self._t, self._R_vel, self._t_vel, self._has_vel,
+                *self._lm_args)
+
+    def _dispatch(self, gray, depth, out: FusedOut | None = None) -> FusedOut:
         """Dispatch the fused step and optimistically advance device state."""
-        out = fused_track_step(
-            self.cfg, gray, depth, self._prev_fd,
-            self._prev_slot_pt, self._prev_slot_ln,
-            self._pt_remap, self._ln_remap,
-            self._R, self._t, self._R_vel, self._t_vel, self._has_vel,
-            *self._lm_args,
-            stereo=(self.sensor == "stereo"),
-        )
+        if out is None:
+            out = fused_track_step(
+                self.cfg, gray, depth, self._prev_fd,
+                self._prev_slot_pt, self._prev_slot_ln,
+                self._pt_remap, self._ln_remap,
+                self._R, self._t, self._R_vel, self._t_vel, self._has_vel,
+                *self._lm_args,
+                stereo=(self.sensor == "stereo"),
+            )
         self._pt_remap = self._id_pt
         self._ln_remap = self._id_ln
         self._pt_remap_np = None
