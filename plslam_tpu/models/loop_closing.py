@@ -140,6 +140,25 @@ class LoopCloser:
         )
         if int(n_inl) < self.cfg.loop.sim3_min_inliers:
             return None
+        # Sim3 LM refinement on bidirectional reprojection
+        # (Optimizer::OptimizeSim3, Optimizer.cc:1400-1659)
+        h1 = m.kf_frames[kf1]
+        h2 = m.kf_frames[kf2]
+        feats1 = np.nonzero(ok)[0][:N]
+        feats2 = idx[feats1]
+        uv1 = np.zeros((N, 2), np.float32)
+        uv2 = np.zeros((N, 2), np.float32)
+        uv1[: len(feats1)] = h1.kp_xy_un[feats1]
+        uv2[: len(feats1)] = h2.kp_xy_un[feats2]
+        s_r, R_r, t_r, s_inl, s_n = horn.refine_sim3(
+            self.cfg.camera, s, R12, t12,
+            jnp.asarray(dst), jnp.asarray(uv1),
+            jnp.asarray(src), jnp.asarray(uv2),
+            jnp.asarray(val),
+            with_scale=not self.cfg.loop.fix_scale,
+        )
+        if int(s_n) >= self.cfg.loop.sim3_min_inliers:
+            s, R12, t12 = s_r, R_r, t_r
         s12 = float(s)
         R12 = np.asarray(R12)
         t12 = np.asarray(t12)

@@ -88,3 +88,67 @@ def ransac_align(
     t_o = jnp.where(ok, t_f, t_b)
     inl_o = jnp.where(ok, inl2, inl)
     return s_o, R_o, t_o, inl_o, jnp.sum(inl_o.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "with_scale"))
+def refine_sim3(cam, s0, R12, t12,
+                x1, uv1, x2, uv2, valid,
+                chi2_th: float = 10.0, iters: int = 8,
+                with_scale: bool = True):
+    """Sim3 LM refinement on BIDIRECTIONAL reprojection errors
+    (Optimizer::OptimizeSim3, /root/reference/src/Optimizer.cc:1400-1659:
+    EdgeSim3ProjectXYZ projects x2 through S12 into image 1 and
+    EdgeInverseSim3ProjectXYZ projects x1 through S12^-1 into image 2,
+    chi2 gate th2=10, scale frozen when bFixScale).
+
+    x1/x2: (N, 3) camera-frame points; uv1/uv2: (N, 2) their pixel
+    observations in the OTHER frame's image. Returns (s, R, t, inliers,
+    n_inliers)."""
+    from ..geometry import se3 as _se3
+
+    def project(p):
+        z = jnp.where(jnp.abs(p[:, 2]) > 1e-6, p[:, 2], 1e-6)
+        return jnp.stack([cam.fx * p[:, 0] / z + cam.cx,
+                          cam.fy * p[:, 1] / z + cam.cy], -1)
+
+    def residuals(params):
+        w, u, log_s = params[:3], params[3:6], params[6]
+        dR = _se3.so3_exp(w)
+        R = dR @ R12
+        t = t12 + u
+        s = s0 * jnp.exp(log_s if with_scale else 0.0)
+        p1 = s * (x2 @ R.T) + t                    # x2 -> frame 1
+        r1 = (project(p1) - uv1) * valid[:, None]
+        Rinv = R.T
+        p2 = (x1 - t) @ Rinv.T / s                 # x1 -> frame 2
+        r2 = (project(p2) - uv2) * valid[:, None]
+        return jnp.concatenate([r1, r2], 0).reshape(-1)
+
+    params = jnp.zeros(7)
+    lam0 = jnp.float32(1e-3)
+
+    def step(carry, _):
+        params, lam = carry
+        r = residuals(params)
+        J = jax.jacfwd(residuals)(params)
+        H = J.T @ J + lam * jnp.eye(7)
+        g = J.T @ r
+        dp = -jnp.linalg.solve(H, g)
+        new = params + dp
+        better = jnp.sum(residuals(new) ** 2) < jnp.sum(r ** 2)
+        params = jnp.where(better, new, params)
+        lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 5.0), 1e-8, 1e2)
+        return (params, lam), None
+
+    (params, _), _ = jax.lax.scan(step, (params, lam0), None, length=iters)
+    w, u, log_s = params[:3], params[3:6], params[6]
+    R = _se3.so3_exp(w) @ R12
+    t = t12 + u
+    s = s0 * jnp.exp(log_s if with_scale else 0.0)
+
+    p1 = s * (x2 @ R.T) + t
+    e1 = jnp.sum((project(p1) - uv1) ** 2, -1)
+    p2 = (x1 - t) @ R / s
+    e2 = jnp.sum((project(p2) - uv2) ** 2, -1)
+    inl = valid & (e1 < chi2_th) & (e2 < chi2_th)
+    return s, R, t, inl, inl.sum()

@@ -134,3 +134,58 @@ class TestLoopClosing:
         # truth (the injected offset moved the world gauge itself)
         err = _rel_err_vs_gt(m, tr, poses)
         assert err < 0.25, f"KF0-relative pose err {err*100:.1f}cm after loop"
+
+
+def test_refine_sim3_recovers_similarity():
+    """Sim3 reprojection LM (Optimizer::OptimizeSim3 parity) sharpens a
+    perturbed RANSAC estimate to the true similarity."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from plslam_tpu.geometry.projection import Camera
+    from plslam_tpu.optim import horn
+
+    cam = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
+    rng = np.random.default_rng(0)
+    N = 512
+    n = 200
+    x2 = rng.uniform([-2, -1.5, 2.0], [2, 1.5, 6.0], (n, 3)).astype(
+        np.float32)
+    # true S12: rotation + translation + scale
+    aa = np.array([0.03, -0.05, 0.02])
+    th = np.linalg.norm(aa)
+    k = aa / th
+    K = np.array([[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]])
+    R_true = (np.eye(3) + np.sin(th) * K
+              + (1 - np.cos(th)) * K @ K).astype(np.float32)
+    t_true = np.array([0.2, -0.1, 0.05], np.float32)
+    s_true = 1.08
+    x1 = (s_true * x2 @ R_true.T + t_true).astype(np.float32)
+
+    def proj(p):
+        return np.stack([cam.fx * p[:, 0] / p[:, 2] + cam.cx,
+                         cam.fy * p[:, 1] / p[:, 2] + cam.cy], -1)
+
+    uv1 = np.zeros((N, 2), np.float32)
+    uv2 = np.zeros((N, 2), np.float32)
+    X1 = np.zeros((N, 3), np.float32)
+    X2 = np.zeros((N, 3), np.float32)
+    val = np.zeros(N, bool)
+    uv1[:n] = proj(x1)
+    uv2[:n] = proj(x2)
+    X1[:n] = x1
+    X2[:n] = x2
+    val[:n] = True
+
+    # perturbed initialization (what RANSAC would hand over)
+    R0 = R_true @ (np.eye(3) + np.array(
+        [[0, -0.01, 0], [0.01, 0, 0], [0, 0, 0]])).astype(np.float32)
+    s, R, t, inl, n_in = horn.refine_sim3(
+        cam, 1.0, jnp.asarray(R0.astype(np.float32)),
+        jnp.asarray(t_true + np.float32([0.03, -0.02, 0.01])),
+        jnp.asarray(X1), jnp.asarray(uv1),
+        jnp.asarray(X2), jnp.asarray(uv2), jnp.asarray(val))
+    assert int(n_in) > 0.9 * n
+    assert abs(float(s) - s_true) < 0.01
+    assert np.abs(np.asarray(R) - R_true).max() < 5e-3
+    assert np.abs(np.asarray(t) - t_true).max() < 2e-2
