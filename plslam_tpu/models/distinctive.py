@@ -18,7 +18,6 @@ refreshes a whole BATCH of landmarks after the fusion pass:
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -35,8 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
-from ..geometry import se3
-from ..ops import line_matching, matching
+from ..ops import matching
 from .map import SlamMap
 
 FUSE_TH_PX = 3.0

@@ -28,7 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
-from ..geometry import se3 as gse3
 from ..optim import horn
 from ..ops import matching, hamming
 from .map import SlamMap

@@ -27,7 +27,6 @@ from __future__ import annotations
 
 import contextlib
 import functools
-from dataclasses import dataclass
 from typing import NamedTuple
 
 import jax

@@ -7,8 +7,6 @@ ORBextractor.cc:1107-1132, ``cv::GaussianBlur(7,7,2,2)`` at :1084).
 
 from __future__ import annotations
 
-import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

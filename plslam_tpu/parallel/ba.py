@@ -17,7 +17,6 @@ shared memory only; SURVEY §2 concurrency row).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
