@@ -82,8 +82,14 @@ def main():
                 "unit": "frames/s",
                 "vs_baseline": round(fps / 30.0, 3),
             }
-        )
+        ),
+        flush=True,
     )
+    # The networked-TPU plugin's client teardown intermittently aborts
+    # (pthread cancellation with a C++ exception in flight) after all work
+    # is done; skip interpreter teardown so the recorded exit code reflects
+    # the benchmark, not the plugin's destructor.
+    os._exit(0)
 
 
 if __name__ == "__main__":
