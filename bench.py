@@ -85,11 +85,14 @@ def main():
         ),
         flush=True,
     )
-    # The networked-TPU plugin's client teardown intermittently aborts
-    # (pthread cancellation with a C++ exception in flight) after all work
-    # is done; skip interpreter teardown so the recorded exit code reflects
-    # the benchmark, not the plugin's destructor.
-    os._exit(0)
+    # The networked-TPU ("axon") plugin's client teardown intermittently
+    # aborts (pthread cancellation with a C++ exception in flight) after all
+    # work is done; skip interpreter teardown so the recorded exit code
+    # reflects the benchmark, not the plugin's destructor. Scoped to the
+    # networked plugin only — local-TPU/CPU runs exit normally so genuine
+    # teardown failures stay visible.
+    if os.environ.get("JAX_PLATFORMS", "") == "axon":
+        os._exit(0)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,12 @@ class OrbConfig:
     patch_size: int = 31            # IC-angle / descriptor patch
     edge_threshold: int = 19        # border margin (ORBextractor.cc EDGE_THRESHOLD)
     max_keypoints: int = 1024       # padded capacity of FrameState arrays
+    # Use the hand-written Pallas FAST score+NMS kernel (ops/pallas_fast.py)
+    # instead of the XLA formulation. Bit-identical; measured NOT faster on
+    # v5e (XLA already fuses the stencil pass to ~40us/pyramid — see PERF.md
+    # §1), so off by default. Kept as the integration point for future
+    # Mosaic tuning.
+    use_pallas_fast: bool = False
 
 
 @dataclass(frozen=True)
@@ -129,6 +135,13 @@ class MappingConfig:
     local_ba_obs_cap: int = 16384
     local_ba_iters1: int = 5
     local_ba_iters2: int = 10
+    # Above this camera count the Schur solve switches from the dense
+    # (C,C,6,6) reduced system to the matrix-free PCG solver (optim.ba_cg)
+    # — O(P*C) memory for the off-diagonal blocks vs O(O) for CG. 64 keeps
+    # every local-BA window dense (fastest small solve) and routes
+    # whole-map GBA through CG.
+    ba_dense_camera_cap: int = 64
+    ba_cg_iters: int = 48                 # PCG iterations per LM step
 
 
 @dataclass(frozen=True)

@@ -439,7 +439,8 @@ class LocalMapper:
 
     # ------------------------------------------------------------- local BA
     def run_local_ba(self, kf: int, window: int | None = None,
-                     obs_cap: int | None = None):
+                     obs_cap: int | None = None,
+                     point_cap: int | None = None):
         """Gather the covisibility-local BA problem (under the map lock),
         run the stepped Schur LM with the lock RELEASED — one XLA program
         per iteration so the tracker's frame dispatches interleave, aborting
@@ -457,7 +458,7 @@ class LocalMapper:
         mc = self.cfg.mapping
         window = window or mc.local_ba_window
         C_max = window + mc.local_ba_fixed_cap
-        P = mc.local_ba_point_cap
+        P = point_cap or mc.local_ba_point_cap
         O = obs_cap or mc.local_ba_obs_cap
         L = 256
         OL = 1024
@@ -590,10 +591,23 @@ class LocalMapper:
         self.lock.release()
         locked = False
         try:
-            res = local_ba.bundle_adjust_stepped(
-                self.cfg.camera, prob, iters1=mc.local_ba_iters1,
-                iters2=mc.local_ba_iters2, should_abort=self.should_abort,
-            )
+            if C > mc.ba_dense_camera_cap:
+                # whole-map scale: matrix-free PCG Schur (optim.ba_cg) —
+                # the dense (C,C,6,6)+(P,C,6,3) tensors don't fit here
+                from ..optim import ba_cg
+
+                res = ba_cg.bundle_adjust_cg_stepped(
+                    self.cfg.camera, prob, iters1=mc.local_ba_iters1,
+                    iters2=mc.local_ba_iters2,
+                    should_abort=self.should_abort,
+                    cg_iters=mc.ba_cg_iters,
+                )
+            else:
+                res = local_ba.bundle_adjust_stepped(
+                    self.cfg.camera, prob, iters1=mc.local_ba_iters1,
+                    iters2=mc.local_ba_iters2,
+                    should_abort=self.should_abort,
+                )
             (nR, nt, nxyz, nep, inl, linl) = jax.device_get(
                 (res.cam_R, res.cam_t, res.pt_xyz, res.ln_ep,
                  res.obs_inlier, res.lobs_inlier)

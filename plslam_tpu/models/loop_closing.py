@@ -257,7 +257,7 @@ class LoopCloser:
         self._optimize_essential_graph(kf1, kf2, set(group))
 
         # global BA (reference spawns a thread; sequential pass here)
-        if self.enable_gba and self.map.n_kf <= 250:
+        if self.enable_gba:
             self._global_ba(kf1)
         m.big_change_idx += 1
         if self.tracker is not None and self.tracker.last_kf == kf1:
@@ -373,10 +373,17 @@ class LoopCloser:
 
     def _global_ba(self, kf1: int):
         """Full-map BA (RunGlobalBundleAdjustment, LoopClosing.cc:972-1119).
-        The vectorized observation gather + dense Schur on the MXU keep
-        this a single pass up to ~250 keyframes (the reduced camera system
-        at C=256 is a 1536x1536 solve — trivial for the TPU)."""
+        Up to the dense-Schur camera cap this is the MXU dense solve; past
+        it the local-BA gatherer routes through the matrix-free PCG Schur
+        solver (optim.ba_cg), so the whole map participates regardless of
+        keyframe count."""
         if self.local_mapper is None:
             return
-        # reuse the local-BA gatherer with the window covering all KFs
-        self.local_mapper.run_local_ba(kf1, window=256, obs_cap=65536)
+        m = self.map
+        # window covering every keyframe; caps scale with the map
+        window = 1 << max(8, (m.n_kf - 1).bit_length())
+        n_pts = m.n_points()
+        point_cap = 1 << max(12, (max(n_pts, 1) - 1).bit_length())
+        obs_cap = max(65536, 4 * point_cap)
+        self.local_mapper.run_local_ba(
+            kf1, window=window, obs_cap=obs_cap, point_cap=point_cap)

@@ -239,8 +239,12 @@ def extract_orb(img: jax.Array, cfg: OrbConfig, hw: tuple[int, int]) -> OrbFeatu
         [], [], [], [], [], [], []
     )
     for l, lvl in enumerate(levels):
-        score = fast.fast_score_map(lvl, float(cfg.min_th_fast))
-        score = fast.nms3x3(score)
+        if cfg.use_pallas_fast and jax.default_backend() == "tpu":
+            from .pallas_fast import fast_score_nms
+
+            score = fast_score_nms(lvl, float(cfg.min_th_fast))
+        else:
+            score = fast.nms3x3(fast.fast_score_map(lvl, float(cfg.min_th_fast)))
         cys, cxs, cresp = fast.detect_cellwise(
             score,
             float(cfg.ini_th_fast),

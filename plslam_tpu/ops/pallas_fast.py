@@ -45,17 +45,22 @@ def _kernel(img_hbm, out_ref, blk, sem, *, h, w, tile_h, min_th):
     dma.start()
     dma.wait()
 
+    # Load the VMEM block ONCE; all rolls/slices below act on the value,
+    # not the Ref (lazy ref reads inside pltpu.roll sub-jaxprs trip
+    # "JaxprInputEffect does not have corresponding jaxpr input").
+    x = blk[:]
+
     sh = tile_h + 2  # score rows: output rows plus 1px NMS halo each side
-    center = blk[_HALO - 1 : _HALO - 1 + sh, :]
+    center = x[_HALO - 1 : _HALO - 1 + sh, :]
 
     # 16 circle differences; x-shift as a circular lane roll (wraparound
     # lands in the >=4px horizontal padding, masked off below), y-shift as
     # a sublane slice into the halo.
-    wp = blk.shape[1]
+    wp = x.shape[1]
     diffs = []
     for dx, dy in CIRCLE_OFFSETS:
         dxi, dyi = int(dx), int(dy)
-        rolled = pltpu.roll(blk, (-dxi) % wp, axis=1) if dxi else blk
+        rolled = pltpu.roll(x, (-dxi) % wp, axis=1) if dxi else x
         diffs.append(rolled[_HALO - 1 + dyi : _HALO - 1 + dyi + sh, :] - center)
 
     def arc_score(d):
@@ -101,10 +106,11 @@ def fast_score_nms(
 
     Matches ``nms3x3(fast_score_map(img, min_threshold))`` exactly.
     """
+    img = img.astype(jnp.float32)  # VMEM scratch is f32; accept uint8 input
     h, w = img.shape
     hp = _round_up(h, _TILE_H)
     wp = _round_up(w + 2 * _HALO, _LANES)
-    padded = jnp.zeros((hp + 2 * _HALO, wp), img.dtype)
+    padded = jnp.zeros((hp + 2 * _HALO, wp), jnp.float32)
     padded = jax.lax.dynamic_update_slice(padded, img, (_HALO, _HALO))
 
     grid = hp // _TILE_H
