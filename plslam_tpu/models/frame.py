@@ -46,7 +46,7 @@ class FrameData(NamedTuple):
     ln_angle: jax.Array     # (NL,)
     ln_length: jax.Array    # (NL,)
     ln_coeff: jax.Array     # (NL, 3) from undistorted endpoints
-    ln_desc: jax.Array      # (NL, 32) uint8
+    ln_desc: jax.Array      # (NL, 72) uint8 (quantized LBD, ops/lbd.py)
     ln_depth: jax.Array     # (NL, 2) endpoint depths; <=0 when unknown
     ln_valid: jax.Array     # (NL,) bool
 
@@ -127,7 +127,7 @@ def build_frame(gray: jax.Array, depth: jax.Array, cfg: SlamConfig,
         ln = dict(
             ln_ep=z((nl, 2, 2), jnp.float32), ln_ep_un=z((nl, 2, 2), jnp.float32),
             ln_angle=z((nl,), jnp.float32), ln_length=z((nl,), jnp.float32),
-            ln_coeff=z((nl, 3), jnp.float32), ln_desc=z((nl, 32), jnp.uint8),
+            ln_coeff=z((nl, 3), jnp.float32), ln_desc=z((nl, lbd.LBD_DIM), jnp.uint8),
             ln_depth=z((nl, 2), jnp.float32), ln_valid=z((nl,), bool),
         )
 
@@ -252,6 +252,6 @@ def build_frame_stereo(gray_l: jax.Array, gray_r: jax.Array, cfg: SlamConfig,
         kp_depth=depth, kp_ur=ur, kp_valid=fl.valid,
         ln_ep=z((nl, 2, 2), jnp.float32), ln_ep_un=z((nl, 2, 2), jnp.float32),
         ln_angle=z((nl,), jnp.float32), ln_length=z((nl,), jnp.float32),
-        ln_coeff=z((nl, 3), jnp.float32), ln_desc=z((nl, 32), jnp.uint8),
+        ln_coeff=z((nl, 3), jnp.float32), ln_desc=z((nl, lbd.LBD_DIM), jnp.uint8),
         ln_depth=z((nl, 2), jnp.float32), ln_valid=z((nl,), bool),
     )

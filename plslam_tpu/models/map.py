@@ -91,7 +91,7 @@ class SlamMap:
 
         # map lines (endpoint representation; Plücker derived on the fly)
         self.ln_ep = np.zeros((cap.max_lines, 2, 3), np.float32)
-        self.ln_desc = np.zeros((cap.max_lines, 32), np.uint8)
+        self.ln_desc = np.zeros((cap.max_lines, 72), np.uint8)  # quantized LBD (ops/lbd.py LBD_DIM)
         self.ln_valid = np.zeros(cap.max_lines, bool)
         self.ln_first_kf = np.full(cap.max_lines, -1, np.int32)
         self.ln_visible = np.zeros(cap.max_lines, np.int32)
@@ -132,16 +132,20 @@ class SlamMap:
         ``src_desc_dev`` is the new keyframe's fd.kp_desc)."""
         if len(pids) == 0:
             return
+        # ONE fixed pad size (src has <= max_keypoints rows): variable
+        # power-of-two buckets compiled a new scatter program per size
+        # class, and each first-hit compile/cache-load stalls the frame
+        # loop ~0.5-1.5 s through the tunneled backend
         self._pt_desc_dev = _scatter_from(
             self.point_desc_arena(), src_desc_dev,
-            *_pad_ids(feats, pids))
+            *_pad_ids(feats, pids, src_desc_dev.shape[0]))
 
     def scatter_line_descs_from(self, src_desc_dev, feats, lids):
         if len(lids) == 0:
             return
         self._ln_desc_dev = _scatter_from(
             self.line_desc_arena(), src_desc_dev,
-            *_pad_ids(feats, lids))
+            *_pad_ids(feats, lids, src_desc_dev.shape[0]))
 
     # ---------------------------------------------------------------- points
     def add_point(self, pos, desc, normal, min_d, max_d, first_kf) -> int:
@@ -438,24 +442,20 @@ class SlamMap:
 
 # --------------------------------------------------------------------------
 # Device descriptor-arena helpers.
-def _pad_ids(feats, ids, lo: int = 8):
-    """Pad (feats, ids) to a power-of-two bucket so scatter programs
-    compile for a handful of lengths. Padding repeats the last pair —
-    scattering the same row twice is idempotent."""
+def _pad_ids(feats, ids, bucket: int):
+    """Pad (feats, ids) to ONE fixed ``bucket`` length (the source array's
+    row count) so each scatter program compiles exactly once. Padding
+    repeats the last pair — scattering the same row twice is idempotent.
+    The padded index upload is tiny and compresses to nothing; variable
+    buckets traded that for mid-run compile stalls."""
     import jax.numpy as jnp
 
-    feats = np.asarray(feats, np.int32)
-    ids = np.asarray(ids, np.int32)
-    n = max(len(ids), 1)
-    b = lo
-    while b < n:
-        b *= 2
-    pf = np.full(b, feats[-1] if len(feats) else 0, np.int32)
-    pi = np.full(b, ids[-1] if len(ids) else 0, np.int32)
+    feats = np.asarray(feats, np.int32)[:bucket]
+    ids = np.asarray(ids, np.int32)[:bucket]
+    pf = np.full(bucket, feats[-1] if len(feats) else 0, np.int32)
+    pi = np.full(bucket, ids[-1] if len(ids) else 0, np.int32)
     pf[: len(feats)] = feats
     pi[: len(ids)] = ids
-    if len(ids) == 0:  # degenerate: scatter row 0 onto itself
-        return jnp.asarray(pf), jnp.asarray(pi)
     return jnp.asarray(pf), jnp.asarray(pi)
 
 

@@ -311,7 +311,7 @@ def _wire_spec(out: "FusedOut"):
             ((LM,), np.int16), ((LM,), np.bool_), ((LM,), np.bool_),
             ((LL,), np.int16), ((LL,), np.bool_),
             ((N, 2), np.float32), ((N,), np.uint8), ((N,), np.float32),
-            ((N,), np.bool_), ((NL, 2, 2), np.float32), ((NL, 32), np.uint8),
+            ((N,), np.bool_), ((NL, 2, 2), np.float32), ((NL, 72), np.uint8),
             ((NL, 2), np.float32), ((NL,), np.bool_)]
 
 

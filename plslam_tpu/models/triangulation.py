@@ -224,7 +224,11 @@ class Triangulator:
         return created
 
 
-LINE_DESC_TH = 60   # LBD distance gate (LineMatcher SearchForTriangulation)
+# LBD gate for triangulation matching, normalized squared-L2 over the
+# quantized 72-dim descriptor (the reference's SearchForTriangulation uses
+# a MAD-adaptive Hamming threshold, KeyFrame.cc:773-798; a fixed gate on
+# the well-separated float descriptor fills the same role)
+LINE_DESC_TH = 0.6
 LINE_ANGLE_TH = 15.0 * np.pi / 180.0
 
 
@@ -248,14 +252,15 @@ def triangulate_lines_pair_step(
     cam = cfg.camera
 
     # --- match (desc + angle) -------------------------------------------
-    from ..ops import hamming
+    from ..ops import lbd as lbd_mod
 
-    dist = hamming.hamming_matrix(desc1, desc2)
+    # flip-invariant quantized L2, scaled into the shared matcher's range
+    dist = lbd_mod.lbd_distance_matrix(desc1, desc2) // 256
+    th = int(lbd_mod.quantize_distance_threshold(LINE_DESC_TH) // 256)
     da = jnp.abs(angle1[:, None] - angle2[None, :])
     da = jnp.minimum(da, jnp.pi - da)
     gate = (cand1[:, None] & cand2[None, :] & (da < LINE_ANGLE_TH))
-    m = matching.best_matches(dist, gate, max_dist=LINE_DESC_TH,
-                              nn_ratio=0.9)
+    m = matching.best_matches(dist, gate, max_dist=th, nn_ratio=0.9)
     m = matching.dedupe_targets(m, ep2.shape[0])
     idx2 = jnp.clip(m.idx, 0, ep2.shape[0] - 1)
 

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from ..config import LineConfig
 from ..geometry import lines as glines
 from ..geometry import se3
-from . import hamming, matching
+from . import lbd as lbd_mod
+from . import matching
 
 
 class ProjectedLines(NamedTuple):
@@ -151,18 +152,26 @@ def match_lines(
     """Gate-cascade line matching with the reference's relaxed retry.
 
     If matches / n_frame_lines < cfg.low_match_ratio, thresholds are relaxed
-    by cfg.relax_offsets = (angle+10deg, ratio-0.1, overlap-0.1, desc+5,
+    by cfg.relax_offsets = (angle+10deg, ratio-0.1, overlap-0.1, desc+0.2,
     reproj+10) (LineMatcher.cpp:235-261). Both passes are computed; the
     relaxed result is selected branchlessly when the strict pass is weak.
+
+    Descriptor distance: flip-invariant quantized squared-L2 over the
+    72-dim LBD (ops/lbd.py) — the reference's Hamming-over-bits gate with
+    a descriptor that actually separates at viewpoint change.
     """
-    dist = hamming.hamming_matrix(map_desc, f_desc)
+    # scale the quantized squared-L2 into the Hamming-era range (<=504)
+    # so the shared match machinery's constants (BIG, the dedupe key
+    # clamp) stay valid; granularity 256/127^2 ~ 0.016 normalized units
+    dist = lbd_mod.lbd_distance_matrix(map_desc, f_desc) // 256
+    q = float(lbd_mod.quantize_distance_threshold(1.0)) / 256.0
     deg = jnp.pi / 180.0
     strict = _gate_and_match(
         proj, f_ep, f_angle, f_length, f_valid, dist,
         jnp.float32(cfg.angle_th_deg * deg),
         jnp.float32(cfg.length_ratio_th),
         jnp.float32(cfg.overlap_th),
-        jnp.float32(cfg.desc_dist_th),
+        jnp.float32(cfg.desc_dist_th * q),
         jnp.float32(cfg.reproj_err_th),
     )
     ra, rl, ro, rd, rr = cfg.relax_offsets
@@ -171,7 +180,7 @@ def match_lines(
         jnp.float32((cfg.angle_th_deg + ra) * deg),
         jnp.float32(cfg.length_ratio_th + rl),
         jnp.float32(cfg.overlap_th + ro),
-        jnp.float32(cfg.desc_dist_th + rd),
+        jnp.float32((cfg.desc_dist_th + rd) * q),
         jnp.float32(cfg.reproj_err_th + rr),
     )
     n_frame = jnp.maximum(jnp.sum(f_valid.astype(jnp.int32)), 1)

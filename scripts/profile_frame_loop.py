@@ -25,6 +25,13 @@ def main():
 
     cfg = SlamConfig(camera=Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
                                    bf=40.0))
+    pd = int(os.environ.get("PROF_PIPELINE_DEPTH", "0"))
+    if pd:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, tracking=dataclasses.replace(cfg.tracking,
+                                              pipeline_depth=pd))
     n = int(os.environ.get("PROF_FRAMES", "150"))
     scene = RoomScene(0)
     poses = smooth_trajectory(2 * n)[:n]
@@ -35,9 +42,48 @@ def main():
         frames.append((np.clip(gray, 0, 255).astype(np.uint8),
                        np.clip(depth * f, 0, 65535).astype(np.uint16)))
 
+    import jax
+
+    class ProfTracker(Tracker):
+        """Per-phase wall-clock attribution."""
+
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.phase = {"dispatch": [], "wire": [], "book": [],
+                          "kf": [], "refresh": []}
+
+        def _dispatch(self, *a, **kw):
+            t0 = time.perf_counter()
+            out = super()._dispatch(*a, **kw)
+            self.phase["dispatch"].append(time.perf_counter() - t0)
+            return out
+
+        def _finish(self, pending):
+            t0 = time.perf_counter()
+            # the real wire wait; jax caches the host copy so the second
+            # device_get inside super()._finish() is free
+            jax.device_get(pending["out"].wire)
+            self.phase["wire"].append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            ok = super()._finish(pending)
+            self.phase["book"].append(time.perf_counter() - t1)
+            return ok
+
+        def _create_new_keyframe(self, *a, **kw):
+            t0 = time.perf_counter()
+            r = super()._create_new_keyframe(*a, **kw)
+            self.phase["kf"].append(time.perf_counter() - t0)
+            return r
+
+        def _refresh_local_map(self, *a, **kw):
+            t0 = time.perf_counter()
+            r = super()._refresh_local_map(*a, **kw)
+            self.phase["refresh"].append(time.perf_counter() - t0)
+            return r
+
     def run():
         m = SlamMap(cfg)
-        tracker = Tracker(cfg, m, local_mapper=AsyncLocalMapper(
+        tracker = ProfTracker(cfg, m, local_mapper=AsyncLocalMapper(
             LocalMapper(cfg, m)))
         times = np.zeros(n)
         kf_at = np.zeros(n, bool)
@@ -51,15 +97,22 @@ def main():
         tracker.flush()
         total = time.perf_counter() - t_all0
         tracker.local_mapper.shutdown()
-        return times, kf_at, total, m.n_kf
+        return times, kf_at, total, m.n_kf, tracker.phase
+
+    import gc
 
     run()  # rehearsal (compiles cached)
     best = None
     for _ in range(2):
-        times, kf_at, total, n_kf = run()
+        gc.collect()
+        gc.disable()
+        try:
+            times, kf_at, total, n_kf, phase = run()
+        finally:
+            gc.enable()
         if best is None or total < best[2]:
-            best = (times, kf_at, total, n_kf)
-    times, kf_at, total, n_kf = best
+            best = (times, kf_at, total, n_kf, phase)
+    times, kf_at, total, n_kf, phase = best
 
     ms = times * 1e3
     print(f"frames {n}  total {total:.2f}s  fps {n/total:.1f}  kfs {n_kf}")
@@ -78,6 +131,12 @@ def main():
     print("slowest 12 frames (idx, ms, kf?):")
     for i in order[:12]:
         print(f"  {i:4d}  {ms[i]:7.1f}  {'KF' if kf_at[i] else ''}")
+    print("phase totals over the run (ms):")
+    for k, v in phase.items():
+        a = np.array(v) * 1e3
+        if len(a):
+            print(f"  {k:9s} n={len(a):4d} total {a.sum():8.1f} "
+                  f"p50 {np.median(a):6.1f} max {a.max():7.1f}")
 
 
 if __name__ == "__main__":

@@ -28,7 +28,7 @@ class _FakeFrame:
         self.ln_angle = np.zeros(n_ln, np.float32)
         self.ln_length = np.zeros(n_ln, np.float32)
         self.ln_coeff = np.zeros((n_ln, 3), np.float32)
-        self.ln_desc = np.zeros((n_ln, 32), np.uint8)
+        self.ln_desc = np.zeros((n_ln, 72), np.uint8)
         self.ln_depth = np.zeros((n_ln, 2), np.float32)
         self.ln_valid = np.zeros(n_ln, bool)
 

@@ -136,18 +136,26 @@ class TestLbd:
             if d < 16:
                 pairs.append((i, bj))
         assert len(pairs) >= 5
-        same = [bin(int.from_bytes((d1[i] ^ d2[j]).tobytes(), "big")).count("1")
-                for i, j in pairs]
-        assert np.median(same) < 50, f"median same-line dist {np.median(same)}"
+        dist = self._dist(d1, d2)
+        same = [dist[i, j] for i, j in pairs]
+        assert np.median(same) < 0.45, f"median same-line dist {np.median(same)}"
         rng = np.random.default_rng(0)
         vai = np.nonzero(va)[0]
+        d11 = self._dist(d1, d1)
         cross = []
         for _ in range(80):
             i, j = rng.choice(vai, 2, replace=False)
-            cross.append(
-                bin(int.from_bytes((d1[i] ^ d1[j]).tobytes(), "big")).count("1")
-            )
-        assert np.median(cross) > np.median(same) + 25
+            cross.append(d11[i, j])
+        assert np.median(cross) > np.median(same) + 0.3
+
+    @staticmethod
+    def _dist(da, db):
+        """Flip-invariant normalized squared-L2 (the production metric)."""
+        import jax
+
+        return np.asarray(jax.device_get(
+            lbd.lbd_distance_matrix(jnp.asarray(da), jnp.asarray(db))
+        )) / (127.0 * 127.0)
 
     def test_brightness_invariance(self):
         img1, _ = paint_scene(texture=True)
@@ -156,6 +164,20 @@ class TestLbd:
         f2, d2 = self._detect_with_desc(img2)
         pairs = self._match_lines(f1, f2)
         assert len(pairs) >= 3
-        dists = [bin(int.from_bytes((d1[i] ^ d2[j]).tobytes(), "big")).count("1")
-                 for i, j in pairs]
-        assert np.median(dists) < 45, f"median {np.median(dists)}"
+        dist = self._dist(d1, d2)
+        dists = [dist[i, j] for i, j in pairs]
+        assert np.median(dists) < 0.3, f"median {np.median(dists)}"
+
+    def test_flip_invariance(self):
+        """Swapping a segment's endpoints permutes the descriptor; the
+        flip-min distance must treat the two as identical."""
+        img, _ = paint_scene(texture=True)
+        f, d = self._detect_with_desc(img)
+        ep = np.asarray(f.endpoints)
+        flipped = lbd.extract_lbd(
+            jnp.asarray(img), jnp.asarray(ep[:, ::-1]),
+            jnp.asarray(f.valid), CFG)
+        dist = self._dist(d, np.asarray(flipped))
+        v = np.nonzero(np.asarray(f.valid))[0]
+        self_d = np.array([dist[i, i] for i in v])
+        assert np.median(self_d) < 0.1, f"flip self-dist {np.median(self_d)}"

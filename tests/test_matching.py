@@ -144,7 +144,7 @@ def test_distinctive_descriptors_min_median():
             ln_ep=z((nl, 2, 2), np.float32),
             ln_ep_un=z((nl, 2, 2), np.float32),
             ln_angle=z(nl, np.float32), ln_length=z(nl, np.float32),
-            ln_coeff=z((nl, 3), np.float32), ln_desc=z((nl, 32), np.uint8),
+            ln_coeff=z((nl, 3), np.float32), ln_desc=z((nl, 72), np.uint8),
             ln_depth=z((nl, 2), np.float32), ln_valid=z(nl, bool),
         )
         m.add_keyframe(HostFrame(fd), np.eye(3, dtype=np.float32),

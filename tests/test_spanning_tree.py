@@ -26,7 +26,7 @@ def _host(cfg):
         kp_valid=z(n, bool),
         ln_ep=z((nl, 2, 2), np.float32), ln_ep_un=z((nl, 2, 2), np.float32),
         ln_angle=z(nl, np.float32), ln_length=z(nl, np.float32),
-        ln_coeff=z((nl, 3), np.float32), ln_desc=z((nl, 32), np.uint8),
+        ln_coeff=z((nl, 3), np.float32), ln_desc=z((nl, 72), np.uint8),
         ln_depth=z((nl, 2), np.float32), ln_valid=z(nl, bool),
     ))
 

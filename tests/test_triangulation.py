@@ -38,7 +38,7 @@ def _frame_arrays(uv, desc):
         kp_ur=np.full(n, -1, np.float32), kp_valid=kp_valid,
         ln_ep=z((nl, 2, 2), np.float32), ln_ep_un=z((nl, 2, 2), np.float32),
         ln_angle=z(nl, np.float32), ln_length=z(nl, np.float32),
-        ln_coeff=z((nl, 3), np.float32), ln_desc=z((nl, 32), np.uint8),
+        ln_coeff=z((nl, 3), np.float32), ln_desc=z((nl, 72), np.uint8),
         ln_depth=z((nl, 2), np.float32), ln_valid=z(nl, bool),
     )
 
@@ -126,13 +126,13 @@ def test_triangulates_lines():
     import jax.numpy as jnp
 
     NL = CFG.lines.max_lines
-    descs = rng.integers(0, 256, (n_ln, 32), np.uint8)
+    descs = rng.integers(0, 128, (n_ln, 72), np.uint8)
 
     def frame(R, t):
         uv = proj(R, t, ep).astype(np.float32)          # (n_ln, 2, 2)
         z = np.zeros
         ln_ep = z((NL, 2, 2), np.float32)
-        ln_desc = z((NL, 32), np.uint8)
+        ln_desc = z((NL, 72), np.uint8)
         ln_valid = z(NL, bool)
         ln_angle = z(NL, np.float32)
         ln_ep[:n_ln] = uv
