@@ -211,3 +211,166 @@ def distributed_gn_step(cam, prob: ShardedBA, mesh: Mesh, lam: float = 1e-4):
         prob.obs_cam, prob.obs_pt, prob.obs_uv, prob.obs_ur, prob.obs_w,
         prob.obs_valid,
     )
+
+
+def distributed_cg_step(cam, prob: ShardedBA, mesh: Mesh,
+                        lam: float = 1e-4, cg_iters: int = 32):
+    """One damped GN step with a MATRIX-FREE sharded Schur solve.
+
+    The dense variant above all-reduces the whole (C, C, 6, 6) reduced
+    camera system — one big psum, then a replicated dense solve; fine to a
+    few hundred cameras. Here nothing quadratic in C exists anywhere:
+    every S·v product is evaluated as local two-pass observation sweeps
+    (the optim.ba_cg formulation) whose (C, 6) camera-vector contribution
+    is psum'd over the landmark shards — so each PCG iteration moves only
+    6C floats over ICI, and the preconditioner (exact block diagonal of S)
+    is one (C, 6, 6) psum. This is the whole-map multi-chip GBA design:
+    keyframes in the thousands, landmark blocks sharded, collectives
+    riding ICI.
+    """
+    C = prob.cam_R.shape[0]
+
+    def local_shard(cam_R, cam_t, cam_fixed, pt_xyz, pt_valid,
+                    obs_cam, obs_pt, obs_uv, obs_ur, obs_w, obs_valid):
+        pt_xyz = pt_xyz[0]
+        pt_valid = pt_valid[0]
+        obs_cam = obs_cam[0]
+        obs_pt = obs_pt[0]
+        obs_uv = obs_uv[0]
+        obs_ur = obs_ur[0]
+        obs_w = obs_w[0]
+        obs_valid = obs_valid[0]
+        Ps = pt_xyz.shape[0]
+
+        def r_and_J(Rc, tc, X, uv, ur):
+            zero6 = jnp.zeros(6)
+            zero3 = jnp.zeros(3)
+
+            def f(xi, dx):
+                Rn, tn = se3.left_update(xi, Rc, tc)
+                return _point_residual(cam, Rn, tn, X + dx, uv, ur)
+
+            r = f(zero6, zero3)
+            Jc = jax.jacfwd(lambda xi: f(xi, zero3))(zero6)
+            Jp = jax.jacfwd(lambda dx: f(zero6, dx))(zero3)
+            return r, Jc, Jp
+
+        r, Jc, Jp = jax.vmap(r_and_J)(
+            cam_R[obs_cam], cam_t[obs_cam], pt_xyz[obs_pt], obs_uv, obs_ur)
+        w = obs_w * obs_valid
+        JcW = Jc * w[:, None, None]
+        JpW = Jp * w[:, None, None]
+
+        U = jnp.zeros((C, 6, 6)).at[obs_cam].add(
+            jnp.einsum("ori,orj->oij", JcW, Jc))
+        V = jnp.zeros((Ps, 3, 3)).at[obs_pt].add(
+            jnp.einsum("ori,orj->oij", JpW, Jp))
+        bc = jnp.zeros((C, 6)).at[obs_cam].add(
+            -jnp.einsum("ori,or->oi", JcW, r))
+        bp = jnp.zeros((Ps, 3)).at[obs_pt].add(
+            -jnp.einsum("ori,or->oi", JpW, r))
+
+        Vd = V + lam * jax.vmap(jnp.diag)(
+            jnp.diagonal(V, axis1=1, axis2=2)) + 1e-6 * jnp.eye(3)
+        Vinv = jnp.linalg.inv(Vd)
+
+        U_all = jax.lax.psum(U, "obs")
+        bc_all = jax.lax.psum(bc, "obs")
+        Ud = U_all + lam * jax.vmap(jnp.diag)(
+            jnp.diagonal(U_all, axis1=1, axis2=2))
+
+        free = ~cam_fixed
+        mfree = free.astype(jnp.float32)[:, None]
+
+        def schur_term(v):
+            """Local A V^-1 A^T v contribution (C, 6); psum'd by caller."""
+            u = jnp.einsum("ori,oi->or", JcW, v[obs_cam])
+            atv = jnp.zeros((Ps, 3)).at[obs_pt].add(
+                jnp.einsum("ori,or->oi", Jp, u))
+            z = jnp.einsum("pij,pj->pi", Vinv, atv)
+            s = jnp.einsum("ori,oi->or", Jp, z[obs_pt])
+            return jnp.zeros((C, 6)).at[obs_cam].add(
+                jnp.einsum("ori,or->oi", JcW, s))
+
+        def S_mul(v):
+            v = v * mfree
+            uv_ = jnp.einsum("cij,cj->ci", Ud, v)
+            t = jax.lax.psum(schur_term(v), "obs")
+            return (uv_ - t) * mfree
+
+        # rhs
+        zp = jnp.einsum("pij,pj->pi", Vinv, bp)
+        sp = jnp.einsum("ori,oi->or", Jp, zp[obs_pt])
+        av_bp = jnp.zeros((C, 6)).at[obs_cam].add(
+            jnp.einsum("ori,or->oi", JcW, sp))
+        bt = (bc_all - jax.lax.psum(av_bp, "obs")) * mfree
+
+        # exact block-diagonal preconditioner (one psum)
+        B = jnp.einsum("ori,orj->oij", JcW, Jp)
+        BV = jnp.einsum("oij,ojk->oik", B, Vinv[obs_pt])
+        dg = jnp.zeros((C, 6, 6)).at[obs_cam].add(
+            jnp.einsum("oik,ojk->oij", BV, B))
+        M = Ud - jax.lax.psum(dg, "obs")
+        M = M * mfree[:, :, None] + jnp.eye(6)[None] * (1.0 - mfree[:, :, None])
+        Minv = jnp.linalg.inv(M + 1e-6 * jnp.eye(6))
+
+        def prec(v):
+            return jnp.einsum("cij,cj->ci", Minv, v) * mfree
+
+        def dot(a, b):
+            return jnp.sum(a * b)
+
+        x0 = jnp.zeros((C, 6))
+        r0 = bt
+        z0 = prec(r0)
+
+        def cg_step(carry, _):
+            x, rr, z, p, rz = carry
+            Ap = S_mul(p)
+            pAp = dot(p, Ap)
+            alpha = rz / jnp.where(jnp.abs(pAp) > 1e-20, pAp, 1e-20)
+            ok = pAp > 1e-20
+            x = jnp.where(ok, x + alpha * p, x)
+            rn = jnp.where(ok, rr - alpha * Ap, rr)
+            zn = prec(rn)
+            rzn = dot(rn, zn)
+            beta = rzn / jnp.where(jnp.abs(rz) > 1e-20, rz, 1e-20)
+            pn = jnp.where(ok, zn + beta * p, p)
+            return (x, rn, zn, pn, rzn), None
+
+        (xi, *_), _ = jax.lax.scan(
+            cg_step, (x0, r0, z0, z0, dot(r0, z0)), None,
+            length=cg_iters)
+        xi = xi * mfree
+
+        # local landmark back-substitution
+        u = jnp.einsum("ori,oi->or", JcW, xi[obs_cam])
+        at_xi = jnp.zeros((Ps, 3)).at[obs_pt].add(
+            jnp.einsum("ori,or->oi", Jp, u))
+        dX = jnp.einsum("pij,pj->pi", Vinv, bp - at_xi)
+        has_obs = jnp.diagonal(V, axis1=1, axis2=2).sum(-1) > 1e-9
+        Xn = jnp.where((pt_valid & has_obs)[:, None], pt_xyz + dX, pt_xyz)
+
+        Rn, tn = jax.vmap(se3.left_update)(xi, cam_R, cam_t)
+        Rn = jax.vmap(se3.orthonormalize)(Rn)
+        keep = cam_fixed[:, None]
+        tn = jnp.where(keep, cam_t, tn)
+        Rn = jnp.where(keep[:, :, None], cam_R, Rn)
+        return Rn, tn, Xn[None]
+
+    spec_rep = P()
+    spec_sh = P("obs")
+    fn = jax.shard_map(
+        local_shard, mesh=mesh,
+        in_specs=(spec_rep, spec_rep, spec_rep,
+                  spec_sh, spec_sh, spec_sh, spec_sh, spec_sh, spec_sh,
+                  spec_sh, spec_sh),
+        out_specs=(spec_rep, spec_rep, spec_sh),
+        check_vma=False,
+    )
+    return jax.jit(fn)(
+        prob.cam_R, prob.cam_t, prob.cam_fixed,
+        prob.pt_xyz, prob.pt_valid,
+        prob.obs_cam, prob.obs_pt, prob.obs_uv, prob.obs_ur, prob.obs_w,
+        prob.obs_valid,
+    )

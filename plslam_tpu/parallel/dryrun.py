@@ -135,3 +135,10 @@ def run(n_devices: int) -> None:
     Rb, tb, Xb = pba.distributed_gn_step(cam, prob, ba_mesh)
     jax.block_until_ready((Rb, tb, Xb))
     assert Rb.shape == (n_cams, 3, 3)
+
+    # ---- phase 3: the matrix-free sharded PCG Schur step (whole-map GBA
+    # at keyframe counts where nothing quadratic in C may exist; one
+    # (C, 6) psum per CG iteration)
+    Rc, tc, Xc = pba.distributed_cg_step(cam, prob, ba_mesh, cg_iters=8)
+    jax.block_until_ready((Rc, tc, Xc))
+    assert Rc.shape == (n_cams, 3, 3)

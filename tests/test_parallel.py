@@ -92,3 +92,36 @@ class TestDistributedBA:
             Rn, tn, Xn = pba.distributed_gn_step(CAM, prob, mesh)
         e1 = cam_err(Rn, tn)
         assert e1 < 0.3 * e0, f"{e0} -> {e1}"
+
+
+class TestDistributedCG:
+    def test_cg_matches_dense_schur(self):
+        """The matrix-free sharded PCG step must produce the same camera
+        update as the dense psum'd Schur solve (same normal equations)."""
+        rng = np.random.default_rng(2)
+        args, poses, pts_gt = small_problem(rng)
+        n_dev = min(4, len(jax.devices()))
+        mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(n_dev), ("obs",))
+        prob = pba.shard_problem(*args, n_shards=n_dev)
+        Rd, td, Xd = pba.distributed_gn_step(CAM, prob, mesh)
+        Rc, tc, Xc = pba.distributed_cg_step(CAM, prob, mesh, cg_iters=64)
+        np.testing.assert_allclose(np.asarray(Rd), np.asarray(Rc), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(td), np.asarray(tc), atol=5e-3)
+
+    def test_cg_step_reduces_error(self):
+        rng = np.random.default_rng(3)
+        args, poses, pts_gt = small_problem(rng)
+        n_dev = min(4, len(jax.devices()))
+        mesh = Mesh(np.array(jax.devices()[:n_dev]).reshape(n_dev), ("obs",))
+        prob = pba.shard_problem(*args, n_shards=n_dev)
+
+        def cam_err(cam_R, cam_t):
+            return np.mean([
+                np.linalg.norm(-np.asarray(cam_R[i]).T @ np.asarray(cam_t[i])
+                               - (-poses[i][0].T @ poses[i][1]))
+                for i in range(len(poses))])
+
+        e0 = cam_err(prob.cam_R, prob.cam_t)
+        R, t, X = pba.distributed_cg_step(CAM, prob, mesh, cg_iters=64)
+        e1 = cam_err(R, t)
+        assert e1 < 0.5 * e0, f"{e0} -> {e1}"
