@@ -227,18 +227,25 @@ def detect_lines(img: jax.Array, cfg: LineConfig, hw: tuple[int, int]) -> LineFe
         # ~a line-width; the old binary-closing formulation bridged ~2 bins
         # each side, which this reproduces
         newrun = (ts - prev > 2.0 * cfg.gap_tolerance_px) | ~ok_s | (idx == 0)
-        # start index of the run each element belongs to (prefix max)
-        start_i = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(newrun, idx, -1), axis=1
+        # t at the start of the run each element belongs to, via a segmented
+        # "hold" scan (copy the value at run starts forward). The obvious
+        # take_along_axis(ts, prefix_max(start_index)) formulation lowers to
+        # a 49k-element scalar-unit gather costing ~0.5 ms/round on v5e —
+        # the single hottest op of the whole detector; the scan is ~10 us.
+        def _hold(a, b):
+            af, av = a
+            bf, bv = b
+            return af | bf, jnp.where(bf, bv, av)
+
+        _, ts_start = jax.lax.associative_scan(
+            _hold, (newrun, jnp.where(newrun, ts, 0.0)), axis=1
         )
         # pick the longest run by SPAN along the line (count under-ranks runs
         # thinned by the per-candidate support cap)
-        ts_start = jnp.take_along_axis(ts, jnp.maximum(start_i, 0), 1)
         span = jnp.where(ok_s, ts - ts_start, -1.0)
         best_end = jnp.argmax(span, axis=1).astype(jnp.int32)
-        best_start = jnp.take_along_axis(start_i, best_end[:, None], 1)[:, 0]
         # run extent in t (from the sorted subset)
-        t_lo = jnp.take_along_axis(ts, jnp.maximum(best_start, 0)[:, None], 1)[:, 0]
+        t_lo = jnp.take_along_axis(ts_start, best_end[:, None], 1)[:, 0]
         t_hi = jnp.take_along_axis(ts, best_end[:, None], 1)[:, 0]
         # weighted PCA over ALL supports inside the run extent — dense (C, P)
         # reductions (no scatter). The top-S subset only delimits the run;
