@@ -55,6 +55,120 @@ def _distinctive_core(stacked_desc, kf_slot, feat_idx, obs_valid):
                                1)[:, 0]
 
 
+@jax.jit
+def _line_distinctive_core(stacked_desc, kf_slot, feat_idx, obs_valid):
+    """Line analog of _distinctive_core: stacked_desc (K, NL, 72) u8
+    quantized LBD; min-median over flip-invariant squared-L2 distances
+    (MapLine::ComputeDistinctiveDescriptors, MapLine.cpp:269 — with the
+    LBD metric ops/lbd.py actually matches with)."""
+    from ..ops import lbd as lbd_mod
+
+    d = stacked_desc[kf_slot, feat_idx]                    # (P, O, 72)
+    dist = jax.vmap(lbd_mod.lbd_distance_matrix)(d, d)     # (P, O, O) i32
+    pair_ok = obs_valid[:, :, None] & obs_valid[:, None, :]
+    BIG = jnp.int32(1 << 30)
+    dist = jnp.where(pair_ok, dist, BIG)
+    srt = jnp.sort(dist, axis=-1)
+    O = d.shape[1]
+    nv = obs_valid.astype(jnp.int32).sum(-1)
+    mid = jnp.clip((nv[:, None] - 1) // 2, 0, O - 1)
+    med = jnp.take_along_axis(srt, mid[:, :, None].repeat(O, 1), -1)[..., 0]
+    med = jnp.where(obs_valid, med, BIG)
+    best = jnp.argmin(med, axis=-1)
+    return jnp.take_along_axis(
+        d, best[:, None, None].repeat(d.shape[-1], -1), 1)[:, 0]
+
+
+def refresh_line_descriptors(m, lids) -> int:
+    """MapLine::ComputeDistinctiveDescriptors + UpdateAverageDir
+    (MapLine.cpp:269, 427) over a batch of line ids: pick the observation
+    descriptor with minimum median distance to the rest (scattered into the
+    device line arena), and refresh the host viewing stats (mean midpoint
+    viewing direction + distance band over observing keyframes)."""
+    lids = [int(l) for l in lids
+            if m.ln_valid[l] and len(m.ln_obs[l]) >= 2]
+    if not lids:
+        return 0
+    lids = lids[:256]
+    kfs: list[int] = []
+    kf_slot_of: dict[int, int] = {}
+    rows = np.zeros((len(lids), MAX_OBS), np.int32)
+    feats = np.zeros((len(lids), MAX_OBS), np.int32)
+    valid = np.zeros((len(lids), MAX_OBS), bool)
+    for i, lid in enumerate(lids):
+        obs = sorted(m.ln_obs[lid].items())[-MAX_OBS:]
+        for o, (kf, feat) in enumerate(obs):
+            if m.kf_frames_dev[kf] is None and m.kf_frames[kf] is None:
+                continue
+            s = kf_slot_of.get(kf)
+            if s is None:
+                s = len(kfs)
+                kf_slot_of[kf] = s
+                kfs.append(kf)
+            rows[i, o] = s
+            feats[i, o] = feat
+            valid[i, o] = True
+    if not kfs or len(kfs) > 24:
+        return 0
+    stacked = jnp.stack([m.device_frame(k).ln_desc for k in kfs])
+    P = 8
+    while P < len(lids):
+        P *= 2
+    K = 4
+    while K < len(kfs):
+        K *= 2
+    if K > len(kfs):
+        stacked = jnp.concatenate(
+            [stacked, jnp.zeros((K - len(kfs),) + stacked.shape[1:],
+                                stacked.dtype)])
+    pr = np.repeat(rows[-1:], P, 0)
+    pf = np.repeat(feats[-1:], P, 0)
+    pv = np.repeat(valid[-1:], P, 0)
+    pr[: len(lids)] = rows
+    pf[: len(lids)] = feats
+    pv[: len(lids)] = valid
+    new_desc = _line_distinctive_core(stacked, jnp.asarray(pr),
+                                      jnp.asarray(pf), jnp.asarray(pv))
+    ids = np.full(P, lids[-1], np.int32)
+    ids[: len(lids)] = lids
+    from .map import _scatter_rows
+
+    m._ln_desc_dev = _scatter_rows(m.line_desc_arena(), jnp.asarray(ids),
+                                   new_desc)
+    update_line_stats(m, lids)
+    return len(lids)
+
+
+def update_line_stats(m, lids):
+    """UpdateAverageDir (MapLine.cpp:427): mean viewing direction of the
+    line midpoint over observing keyframes + distance band around the mean
+    observation distance. Host numpy — tiny bookkeeping arrays."""
+    for lid in lids:
+        obs = m.ln_obs[lid]
+        if not obs or not m.ln_valid[lid]:
+            continue
+        mid = 0.5 * (m.ln_ep[lid, 0] + m.ln_ep[lid, 1])
+        dirs = []
+        dists = []
+        for kf in obs:
+            if not m.kf_valid[kf]:
+                continue
+            v = mid - m.kf_camera_center(kf)
+            d = float(np.linalg.norm(v))
+            if d > 1e-6:
+                dirs.append(v / d)
+                dists.append(d)
+        if not dirs:
+            continue
+        n = np.mean(dirs, axis=0)
+        nn = float(np.linalg.norm(n))
+        if nn > 1e-6:
+            m.ln_normal[lid] = n / nn
+        dm = float(np.mean(dists))
+        m.ln_max_dist[lid] = 1.6 * dm
+        m.ln_min_dist[lid] = dm / 1.6
+
+
 def refresh_distinctive_descriptors(m, pids) -> int:
     """Recompute descriptors for the given landmark ids from their current
     observations; scatter results into the device arena. Returns count."""

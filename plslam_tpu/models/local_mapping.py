@@ -101,6 +101,35 @@ def fuse_multi_step(cfg, kp_xy_un, kp_octave, kp_desc, kp_valid,
     return jax.vmap(single)(kp_xy_un, kp_octave, kp_desc, kp_valid, R, t)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def line_fuse_step(cfg, f_ep, f_angle, f_length, f_desc, f_valid,
+                   cand_ep3d, cand_desc, cand_valid, R, t):
+    """Project candidate map lines into a keyframe and run the STRICT
+    line gate cascade (LineMatcher::Fuse, LineMatcher.cpp:1207-1379 —
+    the conservative pass only, no relaxed retry)."""
+    from ..ops import line_matching
+
+    proj = line_matching.project_lines(cfg.camera, R, t, cand_ep3d,
+                                       cand_valid)
+    m = line_matching.match_lines(proj, cand_desc, f_ep, f_angle, f_length,
+                                  f_desc, f_valid, cfg.lines,
+                                  allow_relax=False)
+    return m.idx, m.ok
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def line_fuse_multi_step(cfg, f_ep, f_angle, f_length, f_desc, f_valid,
+                         cand_ep3d, cand_desc, cand_valid, R, t):
+    """Reverse line fusion: ONE candidate set projected into a BATCH of
+    neighbor keyframes (vmapped over the KF axis)."""
+
+    def single(fep, fang, flen, fdesc, fval, Rk, tk):
+        return line_fuse_step(cfg, fep, fang, flen, fdesc, fval,
+                              cand_ep3d, cand_desc, cand_valid, Rk, tk)
+
+    return jax.vmap(single)(f_ep, f_angle, f_length, f_desc, f_valid, R, t)
+
+
 class LocalMapper:
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap, enable_ba: bool = True,
                  kfdb=None):
@@ -260,20 +289,154 @@ class LocalMapper:
         their round trips run unlocked so the tracker keeps retiring
         frames."""
         self._fuse_impl(kf)
+        if self.cfg.use_lines:
+            self._fuse_lines_impl(kf)
+
+    def _neighborhood(self, kf: int) -> list[int]:
+        """2-level covisibility neighborhood (SearchInNeighbors harvest,
+        LocalMapping.cc:929-950). Caller must hold the map lock."""
+        m = self.map
+        neighbors = m.covisible_keyframes(
+            kf, self.cfg.mapping.triangulation_neighbors)
+        ext = list(neighbors)
+        seen = set(ext) | {kf}
+        for n1 in neighbors[:5]:
+            for n2 in m.covisible_keyframes(n1, 5):
+                if n2 not in seen:
+                    ext.append(n2)
+                    seen.add(n2)
+        return ext
+
+    def _fuse_lines_impl(self, kf: int):
+        """Line half of SearchInNeighbors (LineMatcher::Fuse,
+        LineMatcher.cpp:1207-1379; the reference's LocalMapping call site is
+        the dead code at LocalMapping.cc:1036-1090 — live here): project
+        neighbor map lines into the new KF, gate with the strict cascade,
+        merge duplicates keeping the better-observed line; then the reverse
+        direction over the neighbor batch."""
+        m = self.map
+        LCAP = 512
+        touched: list[int] = []
+        with self.lock:
+            ext = self._neighborhood(kf)
+            if not ext:
+                return
+            own = set(int(l) for l in m.kf_ln_idx[kf] if l >= 0)
+            cand = np.unique(m.kf_ln_idx[ext])
+            cand = cand[cand >= 0]
+            cand = np.array(
+                [l for l in cand if m.ln_valid[l] and int(l) not in own],
+                np.int32)[:LCAP]
+            Rk = m.kf_R[kf].copy()
+            tk = m.kf_t[kf].copy()
+        if len(cand) > 0:
+            fdv = m.device_frame(kf)
+            C = self._bucket(len(cand), 64, LCAP)
+            ep3d = np.zeros((C, 2, 3), np.float32)
+            valid = np.zeros(C, bool)
+            lid_pad = np.zeros(C, np.int32)
+            k = len(cand)
+            ep3d[:k] = m.ln_ep[cand]
+            valid[:k] = True
+            lid_pad[:k] = cand
+            desc = m.line_desc_arena()[jnp.asarray(lid_pad)]
+            idx, ok = line_fuse_step(
+                self.cfg, fdv.ln_ep_un, fdv.ln_angle, fdv.ln_length,
+                fdv.ln_desc, fdv.ln_valid,
+                jnp.asarray(ep3d), desc, jnp.asarray(valid),
+                jnp.asarray(Rk), jnp.asarray(tk),
+            )
+            idx, ok = jax.device_get((idx, ok))  # sync OUTSIDE the lock
+            ok = ok.copy()
+            ok[k:] = False
+            with self.lock:
+                for i in np.nonzero(ok)[0]:
+                    lid = int(cand[i])
+                    feat = int(idx[i])
+                    if not m.ln_valid[lid]:
+                        continue
+                    bound = int(m.kf_ln_idx[kf, feat])
+                    if bound < 0:
+                        m.add_line_obs(lid, kf, feat)
+                        touched.append(lid)
+                    elif bound != lid and m.ln_valid[bound]:
+                        winner, loser = (
+                            (lid, bound)
+                            if len(m.ln_obs[lid]) >= len(m.ln_obs[bound])
+                            else (bound, lid)
+                        )
+                        self.replace_line(loser, winner)
+                        touched.append(winner)
+
+        # reverse direction: the new KF's lines into the neighbor batch
+        with self.lock:
+            own_lids = m.kf_ln_idx[kf]
+            own_lids = own_lids[own_lids >= 0]
+            own_lids = own_lids[m.ln_valid[own_lids]][:LCAP]
+            targets = [o for o in ext if m.kf_valid[o]][:10]
+        if len(own_lids) and targets:
+            K = len(targets)
+            K_FIX = self._bucket(K, 2, 10)
+            pad_t = targets + [targets[-1]] * (K_FIX - K)
+            dev = [m.device_frame(o) for o in pad_t]
+            fep = jnp.stack([f.ln_ep_un for f in dev])
+            fang = jnp.stack([f.ln_angle for f in dev])
+            flen = jnp.stack([f.ln_length for f in dev])
+            fdesc = jnp.stack([f.ln_desc for f in dev])
+            fval = jnp.stack(
+                [f.ln_valid if i < K else jnp.zeros_like(f.ln_valid)
+                 for i, f in enumerate(dev)])
+            Rs = np.stack([m.kf_R[o] for o in pad_t])
+            ts = np.stack([m.kf_t[o] for o in pad_t])
+            C2 = self._bucket(len(own_lids), 64, LCAP)
+            ep2 = np.zeros((C2, 2, 3), np.float32)
+            val2 = np.zeros(C2, bool)
+            lid2 = np.zeros(C2, np.int32)
+            k2 = len(own_lids)
+            ep2[:k2] = m.ln_ep[own_lids]
+            val2[:k2] = True
+            lid2[:k2] = own_lids
+            desc2 = m.line_desc_arena()[jnp.asarray(lid2)]
+            idx2, ok2 = line_fuse_multi_step(
+                self.cfg, fep, fang, flen, fdesc, fval,
+                jnp.asarray(ep2), desc2, jnp.asarray(val2),
+                jnp.asarray(Rs), jnp.asarray(ts),
+            )
+            idx2, ok2 = jax.device_get((idx2, ok2))
+            ok2 = ok2.copy()
+            ok2[:, k2:] = False
+            with self.lock:
+                for ki, okf in enumerate(targets):
+                    if not m.kf_valid[okf]:
+                        continue
+                    for i in np.nonzero(ok2[ki])[0]:
+                        lid = int(own_lids[i])
+                        if not m.ln_valid[lid]:
+                            continue
+                        feat = int(idx2[ki, i])
+                        bound = int(m.kf_ln_idx[okf, feat])
+                        if bound < 0:
+                            m.add_line_obs(lid, okf, feat)
+                            touched.append(lid)
+                        elif bound != lid and m.ln_valid[bound]:
+                            winner, loser = (
+                                (bound, lid)
+                                if len(m.ln_obs[bound]) >= len(m.ln_obs[lid])
+                                else (lid, bound)
+                            )
+                            self.replace_line(loser, winner)
+                            touched.append(winner)
+        if touched:
+            from .distinctive import refresh_line_descriptors
+
+            with self.lock:
+                refresh_line_descriptors(self.map, sorted(set(touched)))
 
     def _fuse_impl(self, kf: int):
         m = self.map
         touched: list[int] = []  # landmarks whose observation set changed
         with self.lock:
-            neighbors = m.covisible_keyframes(
-                kf, self.cfg.mapping.triangulation_neighbors)
-            ext = list(neighbors)
-            seen = set(ext) | {kf}
-            for n1 in neighbors[:5]:
-                for n2 in m.covisible_keyframes(n1, 5):
-                    if n2 not in seen:
-                        ext.append(n2)
-                        seen.add(n2)
+            ext = self._neighborhood(kf)
             if not ext:
                 return
             # candidate points: observed by neighbors but not by the new KF

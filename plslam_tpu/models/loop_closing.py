@@ -206,6 +206,14 @@ class LoopCloser:
         scale folds into the written SE3 poses as [R | t/s] — the
         reference's CorrectedSim3 convention (LoopClosing.cc:700-760)."""
         m = self.map
+        # snapshot PRE-correction poses: the essential graph's tree/covis
+        # edges must be measured from the drifted-but-smooth odometry, not
+        # from post-propagation poses (NonCorrectedSim3, LoopClosing.cc:
+        # 670-700 / Optimizer.cc:1180-1260) — rebuilding measurements from
+        # already-moved poses bakes the propagation seams into the graph
+        K0 = m.n_kf
+        R_before = m.kf_R[:K0].copy()
+        t_before = m.kf_t[:K0].copy()
         # corrected current pose: S_1w = S_12 * S_2w, S_2w scale 1
         R1_corr = R12 @ m.kf_R[kf2]
         t1_corr = s12 * (R12 @ m.kf_t[kf2]) + t12
@@ -254,7 +262,8 @@ class LoopCloser:
             self.local_mapper.fuse(kf2)
 
         # essential-graph optimization (Optimizer.cc:1064-1399 semantics)
-        self._optimize_essential_graph(kf1, kf2, set(group))
+        self._optimize_essential_graph(kf1, kf2, set(group),
+                                       R_before, t_before)
 
         # global BA (reference spawns a thread; sequential pass here)
         if self.enable_gba:
@@ -267,11 +276,22 @@ class LoopCloser:
             self.tracker._t = jnp.asarray(t)
             self.tracker._has_vel = jnp.asarray(False)
 
-    def _optimize_essential_graph(self, kf1: int, kf2: int, group: set[int]):
+    def _optimize_essential_graph(self, kf1: int, kf2: int, group: set[int],
+                                  R_before=None, t_before=None):
+        """Essential-graph pose optimization. ``R_before/t_before``: poses
+        snapshotted BEFORE the loop propagation — tree/covisibility edge
+        measurements come from them (the reference's NonCorrectedSim3,
+        Optimizer.cc:1180-1260); only the loop edge uses corrected poses."""
         from ..optim import pose_graph
 
         m = self.map
         K = m.n_kf
+        if R_before is None:
+            R_meas_src, t_meas_src = m.kf_R, m.kf_t
+        else:
+            # measurement source: pre-correction pose where available
+            R_meas_src = np.concatenate([R_before, m.kf_R[len(R_before):K]])
+            t_meas_src = np.concatenate([t_before, m.kf_t[len(t_before):K]])
         KCAP = 1 << (K - 1).bit_length()
         edges = []
         # spanning-tree edges (OptimizeEssentialGraph, Optimizer.cc:1180);
@@ -315,14 +335,20 @@ class LoopCloser:
         tm = np.array(prob.t_meas)
         w = np.zeros(ECAP, np.float32)
         ev = np.zeros(ECAP, bool)
+        n_loop_edge = len(edges) - 1  # the loop edge appended last
         for n, (i, j, wt) in enumerate(edges):
             ei[n] = i
             ej[n] = j
-            # measurement from current (post-propagation) poses
-            Rji = m.kf_R[j].T
-            tji = -Rji @ m.kf_t[j]
-            Rm[n] = m.kf_R[i] @ Rji
-            tm[n] = m.kf_R[i] @ tji + m.kf_t[i]
+            # tree/covis edges: PRE-correction odometry measurement; the
+            # loop edge: the corrected relative pose (current poses — the
+            # propagation put kf1's group into kf2's frame)
+            src_R = (m.kf_R, m.kf_t) if n == n_loop_edge else \
+                (R_meas_src, t_meas_src)
+            Rs, ts_ = src_R
+            Rji = Rs[j].T
+            tji = -Rji @ ts_[j]
+            Rm[n] = Rs[i] @ Rji
+            tm[n] = Rs[i] @ tji + ts_[i]
             w[n] = wt
             ev[n] = True
         prob = prob._replace(

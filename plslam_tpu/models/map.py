@@ -69,6 +69,14 @@ class SlamMap:
         # and by erase-time reparenting
         self.kf_parent = np.full(cap.max_keyframes, -1, np.int32)
         self.kf_children: list[set[int]] = [set() for _ in range(cap.max_keyframes)]
+        # cull chain for trajectory healing (KeyFrame::mTcp, KeyFrame.cc:
+        # SetBadFlag tail): when a keyframe is culled, its pose relative to
+        # its then-parent is frozen here so frames referenced to it can be
+        # re-expressed against a surviving ancestor at save time
+        # (System::SaveTrajectoryTUM, System.cc:337-396)
+        self.kf_cull_parent = np.full(cap.max_keyframes, -1, np.int32)
+        self.kf_cull_Rcp = np.zeros((cap.max_keyframes, 3, 3), np.float32)
+        self.kf_cull_tcp = np.zeros((cap.max_keyframes, 3), np.float32)
         self.n_kf = 0
 
         # map points
@@ -96,6 +104,12 @@ class SlamMap:
         self.ln_first_kf = np.full(cap.max_lines, -1, np.int32)
         self.ln_visible = np.zeros(cap.max_lines, np.int32)
         self.ln_found = np.zeros(cap.max_lines, np.int32)
+        # viewing statistics (MapLine::UpdateAverageDir, MapLine.cpp:427):
+        # mean viewing direction of the midpoint + scale distance band,
+        # refreshed with the distinctive-descriptor pass
+        self.ln_normal = np.zeros((cap.max_lines, 3), np.float32)
+        self.ln_min_dist = np.zeros(cap.max_lines, np.float32)
+        self.ln_max_dist = np.zeros(cap.max_lines, np.float32)
         self.ln_obs: list[dict[int, int]] = [dict() for _ in range(cap.max_lines)]
         self._ln_next = 0
 
@@ -198,6 +212,16 @@ class SlamMap:
         self.ln_visible[lid] = 1
         self.ln_found[lid] = 1
         self.ln_obs[lid].clear()
+        # initial viewing stats from the creating keyframe (refreshed by
+        # distinctive.update_line_stats as observations accumulate)
+        if 0 <= first_kf < self.n_kf:
+            c = self.kf_camera_center(first_kf)
+            mid = 0.5 * (np.asarray(ep[0]) + np.asarray(ep[1]))
+            v = mid - c
+            d = float(np.linalg.norm(v))
+            self.ln_normal[lid] = v / max(d, 1e-6)
+            self.ln_max_dist[lid] = 1.6 * d
+            self.ln_min_dist[lid] = d / 1.6
         return lid
 
     def erase_line(self, lid: int):
@@ -282,6 +306,15 @@ class SlamMap:
                     elif self.ln_first_kf[lid] == kf:
                         self.ln_first_kf[lid] = min(obs)
         self.kf_ln_idx[kf] = -1
+        # freeze the relative pose to the (pre-reparenting) parent so the
+        # trajectory healer can chain through culled keyframes
+        parent = int(self.kf_parent[kf])
+        if parent < 0:
+            parent = 0  # KF0 is never erased
+        Rcp = self.kf_R[kf] @ self.kf_R[parent].T
+        self.kf_cull_parent[kf] = parent
+        self.kf_cull_Rcp[kf] = Rcp
+        self.kf_cull_tcp[kf] = self.kf_t[kf] - Rcp @ self.kf_t[parent]
         self._reparent_children(kf)
         self.kf_valid[kf] = False
         self.kf_frames[kf] = None  # release the feature snapshots
@@ -404,7 +437,8 @@ class SlamMap:
         old_l = np.nonzero(self.ln_valid)[0]
         ln_map[old_l] = np.arange(len(old_l), dtype=np.int32)
         for name in ("ln_ep", "ln_desc", "ln_valid", "ln_first_kf",
-                     "ln_visible", "ln_found"):
+                     "ln_visible", "ln_found", "ln_normal",
+                     "ln_min_dist", "ln_max_dist"):
             arr = getattr(self, name)
             moved = arr[old_l]
             arr[:] = 0

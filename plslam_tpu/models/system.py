@@ -194,12 +194,13 @@ class System:
     # ---------------------------------------------------------------- savers
     def save_trajectory_tum(self, path: str):
         """Frame trajectory in TUM format (SaveTrajectoryTUM,
-        System.cc:337-396)."""
+        System.cc:337-396). Poses are HEALED: each frame is re-composed
+        against the current pose of its reference keyframe, so loop
+        closures / GBA retroactively correct the whole trajectory."""
         self.tracker.flush()
-        ts = [t for t, _, _ in self.tracker.trajectory]
-        poses = [
-            se3_inv_np(R, t) for _, R, t in self.tracker.trajectory
-        ]
+        traj = self.tracker.healed_trajectory()
+        ts = [t for t, _, _ in traj]
+        poses = [se3_inv_np(R, t) for _, R, t in traj]
         tum_io.save_trajectory_tum(path, ts, poses)
 
     def save_keyframe_trajectory_tum(self, path: str):
@@ -213,9 +214,11 @@ class System:
         tum_io.save_trajectory_tum(path, ts, poses)
 
     def save_trajectory_kitti(self, path: str):
-        """SaveTrajectoryKITTI (System.cc:443-487)."""
+        """SaveTrajectoryKITTI (System.cc:443-487). Healed like the TUM
+        saver: poses re-composed against current reference-keyframe poses."""
         self.tracker.flush()
-        poses = [se3_inv_np(R, t) for _, R, t in self.tracker.trajectory]
+        poses = [se3_inv_np(R, t)
+                 for _, R, t in self.tracker.healed_trajectory()]
         tum_io.save_trajectory_kitti(path, poses)
 
     def save_pcd(self, path: str):

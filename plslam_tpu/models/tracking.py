@@ -539,6 +539,13 @@ class Tracker:
         self.last_kf = -1
         self.ref_kf = -1
         self.trajectory: list[tuple[float, np.ndarray, np.ndarray]] = []
+        # per-frame (ref_kf, R_cr, t_cr): pose RELATIVE to the reference
+        # keyframe at track time (Tracking.cc:578-597 mlRelativeFramePoses /
+        # mlpReferences). Composing against the reference keyframe's CURRENT
+        # pose at save time lets loop closures and GBA retroactively heal
+        # the whole frame trajectory (System::SaveTrajectoryTUM semantics,
+        # System.cc:337-396). Parallel to ``trajectory`` (same length/order).
+        self.traj_refs: list[tuple[int, np.ndarray, np.ndarray]] = []
         self.n_lost_frames = 0
         self.only_tracking = False   # localization-only mode (mbOnlyTracking)
         self.debug: dict = {}
@@ -675,6 +682,50 @@ class Tracker:
                 self.state = LOST
                 self.n_lost_frames += 1
 
+    def _record_pose(self, timestamp: float, R: np.ndarray, t: np.ndarray,
+                     ref: int | None = None):
+        """Append a frame pose to the trajectory, both as-tracked (absolute)
+        and relative to the reference keyframe (healable)."""
+        self.trajectory.append((timestamp, R.copy(), t.copy()))
+        if ref is None:
+            ref = self.ref_kf
+        if ref >= 0:
+            # T_cr = T_cw ∘ T_wr with T_rw = the ref KF's pose right now
+            Rr, tr = self.map.kf_R[ref], self.map.kf_t[ref]
+            Rcr = R @ Rr.T
+            tcr = t - Rcr @ tr
+        else:  # no keyframe yet (cannot happen in OK state); store absolute
+            Rcr, tcr = R.copy(), t.copy()
+        self.traj_refs.append((int(ref), Rcr.astype(np.float32),
+                               tcr.astype(np.float32)))
+
+    def healed_trajectory(self) -> list[tuple[float, np.ndarray, np.ndarray]]:
+        """(timestamp, R, t) per frame with every pose re-composed against
+        the CURRENT pose of its reference keyframe — i.e. with loop-closure
+        and GBA corrections applied retroactively (SaveTrajectoryTUM
+        composition, System.cc:350-396). Culled reference keyframes chain
+        through the frozen cull-time relative poses to a surviving
+        ancestor."""
+        m = self.map
+        out = []
+        for (ts, R_abs, t_abs), (ref, Rcr, tcr) in zip(
+                self.trajectory, self.traj_refs):
+            if ref < 0 or ref >= m.kf_R.shape[0]:
+                out.append((ts, R_abs, t_abs))
+                continue
+            kf = ref
+            Rc, tc = Rcr, tcr
+            # walk the cull chain: T_cp = T_cr ∘ T_rp (KF0 never culled)
+            while kf > 0 and not m.kf_valid[kf]:
+                tc = Rc @ m.kf_cull_tcp[kf] + tc
+                Rc = Rc @ m.kf_cull_Rcp[kf]
+                kf = int(m.kf_cull_parent[kf])
+            Rr, tr = m.kf_R[kf], m.kf_t[kf]
+            R = Rc @ Rr
+            t = Rc @ tr + tc
+            out.append((ts, R.astype(np.float32), t.astype(np.float32)))
+        return out
+
     def dispatch_args(self):
         """The fused step's array arguments for this tracker's next frame
         (minus the images) — the batched frontend stacks these across
@@ -769,11 +820,11 @@ class Tracker:
         self.last_pose = (R, t)
         self.last_pt_ids = cur_pt_ids
         self.last_ln_ids = np.full(self.cfg.lines.max_lines, -1, np.int32)
-        self.trajectory.append((timestamp, R.copy(), t.copy()))
         self._R = jnp.asarray(R)
         self._t = jnp.asarray(t)
         self._has_vel = jnp.asarray(False)
         self._refresh_local_map(cur_pt_ids, self.last_ln_ids)
+        self._record_pose(timestamp, R, t)  # after refresh: ref_kf current
         return True
 
     def reset(self):
@@ -820,7 +871,7 @@ class Tracker:
         self.last_pose = (R, t)
         self.last_pt_ids = pt_ids
         self.last_ln_ids = ln_ids
-        self.trajectory.append((timestamp, R.copy(), t.copy()))
+        self._record_pose(timestamp, R, t, ref=kf)
         if self.local_mapper is not None:
             self.local_mapper.on_new_landmarks(kf, pt_ids, ln_ids)
             self.local_mapper.process_keyframe(kf)
@@ -920,8 +971,8 @@ class Tracker:
         self.last_pose = (R, t)
         self.last_pt_ids = cur_pt_ids
         self.last_ln_ids = np.full(self.cfg.lines.max_lines, -1, np.int32)
-        self.trajectory.append((rts, I.copy(), z3.copy()))
-        self.trajectory.append((timestamp, R.copy(), t.copy()))
+        self._record_pose(rts, I, z3, ref=kf0)
+        self._record_pose(timestamp, R, t, ref=kf1)
         if self.local_mapper is not None:
             self.local_mapper.on_new_landmarks(
                 kf1, np.array(new_pids, np.int32), np.zeros(0, np.int32))
@@ -993,7 +1044,7 @@ class Tracker:
         self.last_pose = (R, t)
         self.last_pt_ids = cur_pt_ids
         self.last_ln_ids = cur_ln_ids
-        self.trajectory.append((timestamp, R.copy(), t.copy()))
+        self._record_pose(timestamp, R, t)
 
         need = self._need_new_keyframe(int(tc), int(cc), n_in,
                                        frame_id=frame_id)

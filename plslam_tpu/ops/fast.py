@@ -79,7 +79,10 @@ def _topk_rows(x: jax.Array, k: int):
     pyramid's per-cell selections on v5e, the hottest part of extraction.
     k rounds of (max, argmax, mask) are pure VPU reduce/select passes, ~10x
     cheaper for k=8, and bit-identical (argmax picks the first maximum,
-    matching top_k's index-order tie break)."""
+    matching top_k's index-order tie break). Requires k <= row width;
+    beyond that every row is all -inf and further rounds would repeat
+    (-inf, 0) instead of raising like lax.top_k."""
+    assert k <= x.shape[1], f"_topk_rows: k={k} > row width {x.shape[1]}"
     cols = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
     vals, idxs = [], []
     for _ in range(k):

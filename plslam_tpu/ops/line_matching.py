@@ -75,9 +75,13 @@ def project_lines(
 
 
 def _angle_diff(a, b):
-    """Absolute angular difference on the mod-2pi circle (radians)."""
-    d = jnp.abs(a[:, None] - b[None, :])
-    return jnp.minimum(d, 2 * jnp.pi - d)
+    """Direction-invariant angular difference between LINE directions
+    (mod pi): a segment and its endpoint-swapped twin are the same line.
+    The LBD distance is flip-invariant (ops/lbd.py) — a direction-
+    sensitive angle gate would veto exactly the flipped matches the
+    descriptor machinery exists to keep."""
+    d = jnp.abs(a[:, None] - b[None, :]) % jnp.pi
+    return jnp.minimum(d, jnp.pi - d)
 
 
 def _axis_overlap(ep_a: jax.Array, ep_b: jax.Array, angle_a: jax.Array):
@@ -148,6 +152,7 @@ def match_lines(
     f_desc: jax.Array,      # (M, 32)
     f_valid: jax.Array,     # (M,)
     cfg: LineConfig,
+    allow_relax: bool = True,
 ) -> matching.MatchResult:
     """Gate-cascade line matching with the reference's relaxed retry.
 
@@ -174,6 +179,8 @@ def match_lines(
         jnp.float32(cfg.desc_dist_th * q),
         jnp.float32(cfg.reproj_err_th),
     )
+    if not allow_relax:  # fusion wants the conservative cascade only
+        return strict
     ra, rl, ro, rd, rr = cfg.relax_offsets
     relaxed = _gate_and_match(
         proj, f_ep, f_angle, f_length, f_valid, dist,

@@ -23,9 +23,11 @@ from ..models.map import HostFrame, SlamMap
 
 _PT_FIELDS = ("pt_pos", "pt_normal", "pt_min_dist", "pt_max_dist",
               "pt_valid", "pt_first_kf", "pt_visible", "pt_found")
-_LN_FIELDS = ("ln_ep", "ln_valid", "ln_first_kf", "ln_visible", "ln_found")
+_LN_FIELDS = ("ln_ep", "ln_valid", "ln_first_kf", "ln_visible", "ln_found",
+              "ln_normal", "ln_min_dist", "ln_max_dist")
 _KF_FIELDS = ("kf_R", "kf_t", "kf_valid", "kf_frame_id", "kf_timestamp",
-              "kf_pt_idx", "kf_ln_idx", "kf_parent")
+              "kf_pt_idx", "kf_ln_idx", "kf_parent",
+              "kf_cull_parent", "kf_cull_Rcp", "kf_cull_tcp")
 
 
 def _obs_triples(obs_list, n):
@@ -73,7 +75,8 @@ def load_map(cfg, path: str) -> SlamMap:
     z = np.load(path)
     m = SlamMap(cfg)
     for f in _PT_FIELDS + _LN_FIELDS + _KF_FIELDS:
-        getattr(m, f)[:] = z[f]
+        if f in z:  # tolerate checkpoints from before a field existed
+            getattr(m, f)[:] = z[f]
     m.n_kf = int(z["n_kf"])
     m._pt_next = int(z["pt_next"])
     m._ln_next = int(z["ln_next"])

@@ -5,6 +5,7 @@ Usage: python scripts/trace_ops.py [lsd|orb|frame]
 
 import glob
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -43,7 +44,7 @@ def main():
     jax.block_until_ready(fn(*args))  # compile outside the trace
 
     logdir = f"/tmp/xtrace_{which}"
-    os.system(f"rm -rf {logdir}")
+    shutil.rmtree(logdir, ignore_errors=True)
     with jax.profiler.trace(logdir):
         for _ in range(10):
             out = fn(*args)

@@ -1,0 +1,101 @@
+"""Line fusion (LineMatcher::Fuse) + line landmark maintenance.
+
+Covers the round-2 gaps: duplicate map lines must merge through the fusion
+pass (LineMatcher.cpp:1207-1379; LocalMapping.cc:1036-1090 intent), line
+descriptors must refresh from accumulated observations
+(MapLine::ComputeDistinctiveDescriptors, MapLine.cpp:269) and viewing
+stats must update (UpdateAverageDir, :427).
+"""
+
+import numpy as np
+
+import tests.conftest  # noqa: F401
+import jax
+
+from tests.test_loop_closing import CAM, build_system, orbit_poses
+from plslam_tpu.utils.synthetic import RoomScene
+
+
+def _run(n_frames=40, use_lines=True):
+    cfg, m, lm, lc, tr = build_system(use_lines=use_lines)
+    scene = RoomScene(3)
+    poses = orbit_poses(150)[:n_frames]
+    for i, (R, t) in enumerate(poses):
+        g, d = scene.render(CAM, R, t)
+        tr.process(g, d, i / 30.0)
+    tr.flush()
+    return cfg, m, lm, tr
+
+
+def test_lines_accumulate_observations_via_fusion():
+    """Without fusion a map line only ever gets its creation observation
+    plus tracking bindings at KF events; the fusion pass must attach
+    cross-keyframe observations so lines survive culling."""
+    cfg, m, lm, tr = _run()
+    assert m.n_lines() > 0
+    obs_counts = np.array([len(m.ln_obs[l]) for l in m.line_ids()])
+    assert (obs_counts >= 2).sum() >= 3, (
+        f"too few multi-observation lines: {obs_counts}")
+
+
+def test_duplicate_line_merged_by_fusion():
+    """A duplicate of an existing line, observed only in a neighbor KF,
+    must be merged into the original (better-observed wins) when fusion
+    runs on a keyframe that sees the original."""
+    cfg, m, lm, tr = _run()
+    # pick a line with >= 2 observations, one of them in the newest KF
+    target = None
+    kf = m.n_kf - 1
+    while kf > 0 and target is None:
+        if m.kf_valid[kf]:
+            for lid in m.kf_ln_idx[kf]:
+                if lid >= 0 and m.ln_valid[lid] and len(m.ln_obs[lid]) >= 2:
+                    target = int(lid)
+                    break
+        if target is None:
+            kf -= 1
+    assert target is not None, "no multi-obs line found"
+    # create a near-duplicate observed by a neighbor keyframe only
+    desc = np.asarray(jax.device_get(m.line_desc_arena()))[target]
+    neighbor = next(k for k in m.ln_obs[target] if k != kf)
+    dup = m.add_line(m.ln_ep[target] + 1e-4, desc, neighbor)
+    free_feat = int(np.nonzero(m.kf_ln_idx[neighbor] < 0)[0][0])
+    m.add_line_obs(dup, neighbor, free_feat)
+    n_before = m.n_lines()
+    lm.fuse(kf)
+    # the duplicate (1 obs) must lose to the original (>= 2 obs)
+    assert not m.ln_valid[dup], "duplicate line survived fusion"
+    assert m.ln_valid[target]
+    assert m.n_lines() == n_before - 1
+    # the duplicate's observation was rebound to the winner
+    assert m.ln_obs[target].get(neighbor) is not None
+
+
+def test_line_stats_maintained():
+    """UpdateAverageDir semantics: every multi-obs line carries a unit
+    viewing direction and a sane distance band."""
+    cfg, m, lm, tr = _run()
+    lids = m.line_ids()
+    norms = np.linalg.norm(m.ln_normal[lids], axis=1)
+    assert np.all(norms > 0.5), "line normals missing"
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+    assert np.all(m.ln_max_dist[lids] > m.ln_min_dist[lids])
+    assert np.all(m.ln_min_dist[lids] > 0)
+
+
+def test_line_descriptor_refresh_changes_arena():
+    """refresh_line_descriptors picks the min-median observation descriptor
+    and writes it into the device arena."""
+    from plslam_tpu.models.distinctive import refresh_line_descriptors
+
+    cfg, m, lm, tr = _run()
+    lids = [int(l) for l in m.line_ids() if len(m.ln_obs[l]) >= 2]
+    assert lids
+    before = np.asarray(jax.device_get(m.line_desc_arena()))[lids]
+    n = refresh_line_descriptors(m, lids)
+    assert n == len(lids)
+    after = np.asarray(jax.device_get(m.line_desc_arena()))[lids]
+    # every refreshed row must be one of the observation descriptors —
+    # check it is a real (non-zero) descriptor at minimum
+    assert np.all(after.sum(axis=1) > 0)
+    assert before.shape == after.shape

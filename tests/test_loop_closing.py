@@ -136,6 +136,83 @@ class TestLoopClosing:
         assert err < 0.25, f"KF0-relative pose err {err*100:.1f}cm after loop"
 
 
+class TestTrajectoryHealing:
+    def _track_short(self, n=60):
+        cfg, m, lm, lc, tr = build_system()
+        scene = RoomScene(3)
+        poses = orbit_poses(150)[:n]
+        for i, (R, t) in enumerate(poses):
+            g, d = scene.render(CAM, R, t)
+            tr.process(g, d, i / 30.0)
+        tr.flush()
+        return m, tr, poses
+
+    def test_healing_follows_map_corrections_exactly(self):
+        """Mechanism check: applying a rigid world transform to every
+        keyframe (what a GBA/loop correction does to the map gauge) must
+        move every healed frame pose by exactly that transform, while the
+        as-tracked poses stay put."""
+        m, tr, _ = self._track_short()
+        assert len(tr.traj_refs) == len(tr.trajectory)
+        before = tr.healed_trajectory()
+        W_R = np.asarray(
+            se3.so3_exp(jnp.asarray([0.02, -0.03, 0.01], jnp.float32))
+        ).astype(np.float32)
+        W_t = np.array([0.15, -0.08, 0.30], np.float32)
+        for k in range(m.n_kf):
+            if m.kf_valid[k]:
+                R, t = m.kf_R[k], m.kf_t[k]
+                m.set_kf_pose(k, R @ W_R, R @ W_t + t)
+        after = tr.healed_trajectory()
+        for (_, Rb, tb), (_, Ra, ta) in zip(before, after):
+            np.testing.assert_allclose(Ra, Rb @ W_R, atol=1e-5)
+            np.testing.assert_allclose(ta, Rb @ W_t + tb, atol=1e-5)
+
+    def test_healing_survives_reference_kf_culling(self):
+        """Culling a reference keyframe must leave healed poses unchanged
+        (the cull-time relative pose chains to a surviving ancestor —
+        KeyFrame::mTcp semantics, System.cc:355-365)."""
+        m, tr, _ = self._track_short()
+        before = tr.healed_trajectory()
+        refs = sorted({r for r, _, _ in tr.traj_refs if r > 0})
+        assert refs, "no non-root reference keyframes recorded"
+        victim = refs[len(refs) // 2]
+        m.erase_keyframe(victim)
+        assert not m.kf_valid[victim]
+        after = tr.healed_trajectory()
+        for (_, Rb, tb), (_, Ra, ta) in zip(before, after):
+            np.testing.assert_allclose(Ra, Rb, atol=1e-4)
+            np.testing.assert_allclose(ta, tb, atol=1e-4)
+
+    def test_saved_trajectory_healed_through_loop_correction(self):
+        """End-to-end (the round-2 gap): on a full orbit the loop pipeline
+        fires naturally; frames tracked BEFORE the loop closure keep their
+        drifted absolute poses in the as-tracked list, but the healed
+        (saved) trajectory re-composes them against corrected keyframe
+        poses — its ATE must not be worse."""
+        from plslam_tpu.utils.evaluate import ate_rmse, trajectory_positions
+
+        cfg, m, lm, lc, tr = build_system()
+        scene = RoomScene(3)
+        n = 150
+        poses = orbit_poses(n)
+        for i, (R, t) in enumerate(poses):
+            g, d = scene.render(CAM, R, t)
+            tr.process(g, d, i / 30.0)
+        tr.flush()
+        assert lc.n_loops_closed >= 1, "loop closure never fired"
+        gt_ts = np.array([i / 30.0 for i in range(n)])
+        gt_pos = np.array([-(R.T @ t) for R, t in poses])
+        raw_ts, raw_pos = trajectory_positions(tr.trajectory)
+        heal_ts, heal_pos = trajectory_positions(tr.healed_trajectory())
+        raw_rmse, _, _ = ate_rmse(gt_ts, gt_pos, raw_ts, raw_pos)
+        heal_rmse, n_heal, _ = ate_rmse(gt_ts, gt_pos, heal_ts, heal_pos)
+        assert n_heal > 0.9 * n
+        assert heal_rmse <= raw_rmse + 0.002, (
+            f"healed {heal_rmse*100:.2f}cm !<= as-tracked {raw_rmse*100:.2f}cm")
+        assert heal_rmse < 0.12, f"healed ATE {heal_rmse*100:.2f}cm"
+
+
 def test_refine_sim3_recovers_similarity():
     """Sim3 reprojection LM (Optimizer::OptimizeSim3 parity) sharpens a
     perturbed RANSAC estimate to the true similarity."""

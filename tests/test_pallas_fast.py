@@ -1,6 +1,12 @@
-"""Pallas fused FAST score+NMS kernel vs the XLA reference formulation."""
+"""Pallas fused FAST score+NMS kernel vs the XLA reference formulation.
+
+Interpret-mode runs are tiny (one-to-two tile shapes) because Pallas
+interpret mode on CPU executes per-element Python; full-frame coverage of
+the compiled Mosaic path lives in ``test_compiled_tpu_path`` (TPU-only).
+"""
 
 import numpy as np
+import pytest
 
 import tests.conftest  # noqa: F401  (forces CPU platform)
 import jax.numpy as jnp
@@ -15,43 +21,36 @@ def _reference(img, min_th):
 
 def test_matches_xla_formulation_random():
     rng = np.random.default_rng(7)
-    img = jnp.asarray(
-        rng.integers(0, 256, size=(120, 160)).astype(np.float32)
-    )
+    img = jnp.asarray(rng.integers(0, 256, size=(33, 40)).astype(np.float32))
     got = fast_score_nms(img, 7.0, interpret=True)
     want = _reference(img, 7.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
 
 
 def test_matches_xla_formulation_structured():
-    # corners of a bright square on a dark background + gradient ramp
-    img = np.zeros((97, 201), np.float32)  # deliberately non-aligned shape
-    img += np.linspace(0, 40, 201)[None, :]
-    img[30:60, 50:120] = 200.0
-    img[10:14, 150:154] = 255.0
+    # corners of a bright square on a dark background + gradient ramp;
+    # deliberately non-tile-aligned shape
+    img = np.zeros((37, 45), np.float32)
+    img += np.linspace(0, 40, 45)[None, :]
+    img[10:25, 12:32] = 200.0
+    img[5:8, 36:39] = 255.0
     got = fast_score_nms(jnp.asarray(img), 7.0, interpret=True)
     want = _reference(jnp.asarray(img), 7.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
     assert float(jnp.sum(got > 0)) > 0  # the square's corners fire
 
 
-def test_threshold_gate():
-    rng = np.random.default_rng(3)
-    img = jnp.asarray(rng.integers(0, 256, size=(64, 128)).astype(np.float32))
-    hi = fast_score_nms(img, 20.0, interpret=True)
-    want = _reference(img, 20.0)
-    np.testing.assert_allclose(np.asarray(hi), np.asarray(want), atol=0)
-
-
 def test_uint8_input():
-    # docstring invites 0..255 images; the kernel must accept uint8
+    # docstring invites 0..255 images; the kernel must accept uint8.
+    # Also exercises a higher threshold gate (20.0).
     rng = np.random.default_rng(11)
-    raw = rng.integers(0, 256, size=(64, 160)).astype(np.uint8)
-    got = fast_score_nms(jnp.asarray(raw), 7.0, interpret=True)
-    want = _reference(jnp.asarray(raw.astype(np.float32)), 7.0)
+    raw = rng.integers(0, 256, size=(32, 36)).astype(np.uint8)
+    got = fast_score_nms(jnp.asarray(raw), 20.0, interpret=True)
+    want = _reference(jnp.asarray(raw.astype(np.float32)), 20.0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
 
 
+@pytest.mark.tpu
 def test_compiled_tpu_path():
     """Compiled (non-interpret) Mosaic path vs the XLA formulation, on real
     TPU hardware. conftest pins this process to CPU, so the check runs in a
@@ -59,8 +58,6 @@ def test_compiled_tpu_path():
     import os
     import subprocess
     import sys
-
-    import pytest
 
     env = {k: v for k, v in os.environ.items() if k != "JAX_PLATFORMS"}
     env.pop("XLA_FLAGS", None)
