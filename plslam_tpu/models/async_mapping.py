@@ -66,8 +66,8 @@ class AsyncLocalMapper:
     def fuse(self, kf: int):
         self.inner.fuse(kf)
 
-    def run_local_ba(self, kf: int, window=None):
-        self.inner.run_local_ba(kf, window)
+    def run_local_ba(self, kf: int, window=None, **kw):
+        self.inner.run_local_ba(kf, window, **kw)
 
     def replace_point(self, loser, winner):
         with self.lock:
@@ -99,3 +99,81 @@ class AsyncLocalMapper:
     def shutdown(self):
         self._stop = True
         self._thread.join(timeout=5.0)
+
+
+class AsyncLoopCloser:
+    """LoopClosing on its own worker thread — the reference's LoopClosing
+    pthread (LoopClosing.cc:76-116, System.cc:96): keyframes queue up, the
+    worker runs detection → Sim3 → correction → GBA while the tracker keeps
+    retiring frames. Corrections reach the tracker through the gauge-delta
+    protocol (Tracker.apply_gauge_correction) instead of the reference's
+    stop-the-world map mutex; GBA interruption rides the mapper's
+    ``should_abort`` (a queued keyframe aborts the stepped BA mid-flight —
+    mbStopGBA semantics, LoopClosing.cc:641-647)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+        self.lock = inner.lock
+        self._q: queue.Queue = queue.Queue()
+        self._stop = False
+        self._idle = threading.Event()
+        self._idle.set()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    # LoopCloser interface -------------------------------------------------
+    @property
+    def n_loops_closed(self):
+        return self.inner.n_loops_closed
+
+    @property
+    def last_loop_kf(self):
+        return self.inner.last_loop_kf
+
+    @property
+    def enable_gba(self):
+        return self.inner.enable_gba
+
+    @enable_gba.setter
+    def enable_gba(self, v):
+        self.inner.enable_gba = v
+
+    @property
+    def tracker(self):
+        return self.inner.tracker
+
+    @tracker.setter
+    def tracker(self, t):
+        self.inner.tracker = t
+
+    def process_keyframe(self, kf: int):
+        self._idle.clear()
+        self._q.put(kf)
+
+    # ----------------------------------------------------------------------
+    def _run(self):
+        while True:
+            try:
+                kf = self._q.get(timeout=0.2)
+            except queue.Empty:
+                if self._stop:
+                    return
+                self._idle.set()
+                continue
+            # coalesce: only the newest queued keyframe matters for
+            # detection (the reference drains mlpLoopKeyFrameQueue one by
+            # one but aborts a running GBA when more arrive)
+            try:
+                self.inner.process_keyframe(kf)
+            except Exception as e:  # pragma: no cover
+                print(f"[async-loop] error on KF {kf}: {e!r}")
+            finally:
+                if self._q.empty():
+                    self._idle.set()
+
+    def wait_idle(self, timeout: float | None = None):
+        self._idle.wait(timeout)
+
+    def shutdown(self):
+        self._stop = True
+        self._thread.join(timeout=10.0)

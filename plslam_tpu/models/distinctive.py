@@ -110,13 +110,13 @@ def refresh_line_descriptors(m, lids) -> int:
             valid[i, o] = True
     if not kfs or len(kfs) > 24:
         return 0
+    # ONE fixed shape (P=256, K=24): a varying pad bucket compiles a new
+    # program per size class mid-run, and each first-hit compile stalls the
+    # keyframe event 0.5-2 s through the tunneled backend WHILE the map
+    # lock is held (measured: a single 1.9 s 'book' stall halves bench fps)
     stacked = jnp.stack([m.device_frame(k).ln_desc for k in kfs])
-    P = 8
-    while P < len(lids):
-        P *= 2
-    K = 4
-    while K < len(kfs):
-        K *= 2
+    P = 256
+    K = 24
     if K > len(kfs):
         stacked = jnp.concatenate(
             [stacked, jnp.zeros((K - len(kfs),) + stacked.shape[1:],
@@ -198,13 +198,11 @@ def refresh_distinctive_descriptors(m, pids) -> int:
     if not kfs or len(kfs) > 24:
         return 0  # degenerate or oversized batch: skip this round
     stacked = jnp.stack([m.device_frame(k).kp_desc for k in kfs])
-    # pad P to a bucket so the program compiles for a handful of shapes
-    P = 8
-    while P < len(pids):
-        P *= 2
-    K = 4
-    while K < len(kfs):
-        K *= 2
+    # ONE fixed shape (P=512, K=24) — see refresh_line_descriptors: pad
+    # buckets traded ~1 ms of padded device work for 0.5-2 s mid-run
+    # compile stalls under the map lock
+    P = 512
+    K = 24
     stacked = jnp.concatenate(
         [stacked, jnp.zeros((K - len(kfs),) + stacked.shape[1:],
                             stacked.dtype)]) if K > len(kfs) else stacked

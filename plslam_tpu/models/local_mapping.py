@@ -331,7 +331,7 @@ class LocalMapper:
             tk = m.kf_t[kf].copy()
         if len(cand) > 0:
             fdv = m.device_frame(kf)
-            C = self._bucket(len(cand), 64, LCAP)
+            C = LCAP
             ep3d = np.zeros((C, 2, 3), np.float32)
             valid = np.zeros(C, bool)
             lid_pad = np.zeros(C, np.int32)
@@ -376,7 +376,7 @@ class LocalMapper:
             targets = [o for o in ext if m.kf_valid[o]][:10]
         if len(own_lids) and targets:
             K = len(targets)
-            K_FIX = self._bucket(K, 2, 10)
+            K_FIX = 10
             pad_t = targets + [targets[-1]] * (K_FIX - K)
             dev = [m.device_frame(o) for o in pad_t]
             fep = jnp.stack([f.ln_ep_un for f in dev])
@@ -388,7 +388,7 @@ class LocalMapper:
                  for i, f in enumerate(dev)])
             Rs = np.stack([m.kf_R[o] for o in pad_t])
             ts = np.stack([m.kf_t[o] for o in pad_t])
-            C2 = self._bucket(len(own_lids), 64, LCAP)
+            C2 = LCAP
             ep2 = np.zeros((C2, 2, 3), np.float32)
             val2 = np.zeros(C2, bool)
             lid2 = np.zeros(C2, np.int32)
@@ -449,7 +449,11 @@ class LocalMapper:
         if len(cand) > 0:
             cand = cand[: self._fuse_cap]
             fdv = m.device_frame(kf)  # features stay in HBM — no re-upload
-            C = self._bucket(len(cand), 512, self._fuse_cap)
+            # ONE fixed shape per fuse program (compile once at the first
+            # KF event; variable buckets stalled the loop on mid-run
+            # compiles through the tunnel — ~1 ms of padded device work
+            # per event buys their absence)
+            C = self._fuse_cap
             p3d = np.zeros((C, 3), np.float32)
             mind = np.zeros(C, np.float32)
             maxd = np.zeros(C, np.float32)
@@ -514,7 +518,7 @@ class LocalMapper:
         # would retrace/recompile the vmapped kernel per distinct K
         targets = ext[:10]
         K = len(targets)
-        K_FIX = self._bucket(K, 2, 10)
+        K_FIX = 10
         pad_t = targets + [targets[-1]] * (K_FIX - K)
         dev = [m.device_frame(o) for o in pad_t]  # HBM-resident snapshots
         kxy = jnp.stack([f.kp_xy_un for f in dev])
@@ -526,7 +530,7 @@ class LocalMapper:
         )
         Rs = np.stack([m.kf_R[o] for o in pad_t])
         ts = np.stack([m.kf_t[o] for o in pad_t])
-        C2 = self._bucket(len(own_pids), 512, 2048)
+        C2 = 2048
         p3d2 = np.zeros((C2, 3), np.float32)
         mind2 = np.zeros(C2, np.float32)
         maxd2 = np.zeros(C2, np.float32)
@@ -603,7 +607,8 @@ class LocalMapper:
     # ------------------------------------------------------------- local BA
     def run_local_ba(self, kf: int, window: int | None = None,
                      obs_cap: int | None = None,
-                     point_cap: int | None = None):
+                     point_cap: int | None = None,
+                     max_kf: int | None = None):
         """Gather the covisibility-local BA problem (under the map lock),
         run the stepped Schur LM with the lock RELEASED — one XLA program
         per iteration so the tracker's frame dispatches interleave, aborting
@@ -626,9 +631,12 @@ class LocalMapper:
         L = 256
         OL = 1024
 
-        if window >= m.n_kf:
-            # global BA: every keyframe participates
-            local = [k for k in range(m.n_kf) if m.kf_valid[k]]
+        n_all = m.n_kf if max_kf is None else min(max_kf, m.n_kf)
+        if window >= n_all:
+            # global BA: every keyframe participates (``max_kf`` bounds the
+            # set to the caller's snapshot so keyframes appended mid-GBA are
+            # corrected exactly once, by the caller's anchor propagation)
+            local = [k for k in range(n_all) if m.kf_valid[k]]
         else:
             local = [kf] + m.covisible_keyframes(kf, window - 1)
         local = local[:window]

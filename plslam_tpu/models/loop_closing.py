@@ -39,6 +39,8 @@ LOOP_PROJ_ACCEPT = 40
 class LoopCloser:
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap, kfdb, voc,
                  local_mapper=None, tracker=None):
+        import threading
+
         self.cfg = cfg
         self.map = slam_map
         self.kfdb = kfdb
@@ -49,6 +51,10 @@ class LoopCloser:
         self.last_loop_kf = -(10**9)
         self.n_loops_closed = 0
         self.enable_gba = True
+        # map-update lock shared with the mapper/tracker (RLock: nested
+        # acquisition from the synchronous call path is fine). Held for
+        # host mutation phases only — never across a device round trip.
+        self.lock = getattr(local_mapper, "lock", None) or threading.RLock()
 
     # ------------------------------------------------------------------ main
     def process_keyframe(self, kf: int):
@@ -56,7 +62,8 @@ class LoopCloser:
             return
         if kf < self.last_loop_kf + self.cfg.loop.min_kf_gap:
             return
-        cands = self._detect_loop(kf)
+        with self.lock:  # host-side dict walks over live map state
+            cands = self._detect_loop(kf)
         if not cands:
             return
         for cand in cands:
@@ -101,14 +108,15 @@ class LoopCloser:
         3D pairs, verify by neighborhood projection. Returns (R12, t12,
         n_pairs) with x_c1 = R12 x_c2 + t12, or None."""
         m = self.map
-        p1 = m.kf_pt_idx[kf1]
-        p2 = m.kf_pt_idx[kf2]
-        has1 = (p1 >= 0) & m.pt_valid[np.clip(p1, 0, None)]
-        has2 = (p2 >= 0) & m.pt_valid[np.clip(p2, 0, None)]
-        if has1.sum() < SIM3_MATCH_MIN or has2.sum() < SIM3_MATCH_MIN:
-            return None
-        d1 = m.device_frame(kf1)
-        d2 = m.device_frame(kf2)
+        with self.lock:
+            p1 = m.kf_pt_idx[kf1].copy()
+            p2 = m.kf_pt_idx[kf2].copy()
+            has1 = (p1 >= 0) & m.pt_valid[np.clip(p1, 0, None)]
+            has2 = (p2 >= 0) & m.pt_valid[np.clip(p2, 0, None)]
+            if has1.sum() < SIM3_MATCH_MIN or has2.sum() < SIM3_MATCH_MIN:
+                return None
+            d1 = m.device_frame(kf1)
+            d2 = m.device_frame(kf2)
         dist = hamming.hamming_matrix(d1.kp_desc, d2.kp_desc)
         gate = jnp.asarray(has1)[:, None] & jnp.asarray(has2)[None, :]
         mm = matching.best_matches(dist, gate, max_dist=60,
@@ -164,14 +172,15 @@ class LoopCloser:
 
         # verification: project kf2's neighborhood points into kf1 with the
         # corrected pose; require enough matches (LoopClosing.cc:575-607)
-        neigh = [kf2] + m.covisible_keyframes(kf2, 10)
-        pids = np.unique(m.kf_pt_idx[neigh])
-        pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]]
-        if len(pids) == 0:
-            return None
-        # corrected kf1 pose: T_c1w = T_12 ∘ T_c2w
-        Rc = R12 @ m.kf_R[kf2]
-        tc = R12 @ m.kf_t[kf2] + t12
+        with self.lock:
+            neigh = [kf2] + m.covisible_keyframes(kf2, 10)
+            pids = np.unique(m.kf_pt_idx[neigh])
+            pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]]
+            if len(pids) == 0:
+                return None
+            # corrected kf1 pose: T_c1w = T_12 ∘ T_c2w
+            Rc = R12 @ m.kf_R[kf2]
+            tc = R12 @ m.kf_t[kf2] + t12
         from .local_mapping import fuse_step
 
         C = 4096
@@ -206,23 +215,60 @@ class LoopCloser:
         scale folds into the written SE3 poses as [R | t/s] — the
         reference's CorrectedSim3 convention (LoopClosing.cc:700-760)."""
         m = self.map
-        # snapshot PRE-correction poses: the essential graph's tree/covis
-        # edges must be measured from the drifted-but-smooth odometry, not
-        # from post-propagation poses (NonCorrectedSim3, LoopClosing.cc:
-        # 670-700 / Optimizer.cc:1180-1260) — rebuilding measurements from
-        # already-moved poses bakes the propagation seams into the graph
-        K0 = m.n_kf
-        R_before = m.kf_R[:K0].copy()
-        t_before = m.kf_t[:K0].copy()
-        # corrected current pose: S_1w = S_12 * S_2w, S_2w scale 1
-        R1_corr = R12 @ m.kf_R[kf2]
-        t1_corr = s12 * (R12 @ m.kf_t[kf2]) + t12
-        s1_corr = s12
+        with self.lock:
+            # snapshot PRE-correction poses: the essential graph's tree/
+            # covis edges must be measured from the drifted-but-smooth
+            # odometry, not from post-propagation poses (NonCorrectedSim3,
+            # LoopClosing.cc:670-700 / Optimizer.cc:1180-1260) — rebuilding
+            # measurements from already-moved poses bakes the propagation
+            # seams into the graph
+            K0 = m.n_kf
+            R_before = m.kf_R[:K0].copy()
+            t_before = m.kf_t[:K0].copy()
+            # corrected current pose: S_1w = S_12 * S_2w, S_2w scale 1
+            R1_corr = R12 @ m.kf_R[kf2]
+            t1_corr = s12 * (R12 @ m.kf_t[kf2]) + t12
+            s1_corr = s12
 
-        # propagate to the current covisibility group (LoopClosing.cc:660-760)
-        group = [kf1] + m.covisible_keyframes(kf1)
-        R1_old = m.kf_R[kf1].copy()
-        t1_old = m.kf_t[kf1].copy()
+            # propagate to the current covisibility group
+            # (LoopClosing.cc:660-760) — host numpy, a few ms, under lock
+            group = [kf1] + m.covisible_keyframes(kf1)
+            R1_old = m.kf_R[kf1].copy()
+            t1_old = m.kf_t[kf1].copy()
+            self._propagate_group(group, R1_old, t1_old,
+                                  R1_corr, t1_corr, s1_corr)
+
+        # fuse duplicate landmarks between the loop sides (stage-locked
+        # internally; device work runs with the lock released)
+        if self.local_mapper is not None:
+            self.local_mapper.fuse(kf1)
+            self.local_mapper.fuse(kf2)
+
+        # essential-graph optimization (Optimizer.cc:1064-1399 semantics)
+        self._optimize_essential_graph(kf1, kf2, set(group),
+                                       R_before, t_before)
+
+        # global BA (the reference spawns a GBA thread; here the stepped,
+        # abortable BA runs on whichever thread called us — the async
+        # wrapper makes that a worker)
+        if self.enable_gba:
+            self._global_ba(kf1)
+        with self.lock:
+            m.big_change_idx += 1
+            if self.tracker is not None:
+                # publish the rigid gauge delta D = T1_old^-1 . T1_final so
+                # the tracker folds the correction into its pipelined state
+                # at its next frame (Tracker.apply_gauge_correction)
+                Rd = R1_old.T @ m.kf_R[kf1]
+                td = R1_old.T @ (m.kf_t[kf1] - t1_old)
+                self.tracker.apply_gauge_correction(Rd, td)
+
+    def _propagate_group(self, group, R1_old, t1_old,
+                         R1_corr, t1_corr, s1_corr):
+        """Propagate the corrected kf1 pose to its covisibility group and
+        their landmarks (CorrectLoop's CorrectedSim3 application). Caller
+        holds the map lock."""
+        m = self.map
         R1_old_inv = R1_old.T
         t1_old_inv = -R1_old_inv @ t1_old
         corrected_pts: set[int] = set()
@@ -256,26 +302,6 @@ class LoopCloser:
             # fold scale into SE3: [R | t/s] (CorrectedSim3 write-back)
             m.set_kf_pose(k, R_new, t_new / s_new)
 
-        # fuse duplicate landmarks between the loop sides
-        if self.local_mapper is not None:
-            self.local_mapper.fuse(kf1)
-            self.local_mapper.fuse(kf2)
-
-        # essential-graph optimization (Optimizer.cc:1064-1399 semantics)
-        self._optimize_essential_graph(kf1, kf2, set(group),
-                                       R_before, t_before)
-
-        # global BA (reference spawns a thread; sequential pass here)
-        if self.enable_gba:
-            self._global_ba(kf1)
-        m.big_change_idx += 1
-        if self.tracker is not None and self.tracker.last_kf == kf1:
-            R, t = m.kf_R[kf1], m.kf_t[kf1]
-            self.tracker.last_pose = (R.copy(), t.copy())
-            self.tracker._R = jnp.asarray(R)
-            self.tracker._t = jnp.asarray(t)
-            self.tracker._has_vel = jnp.asarray(False)
-
     def _optimize_essential_graph(self, kf1: int, kf2: int, group: set[int],
                                   R_before=None, t_before=None):
         """Essential-graph pose optimization. ``R_before/t_before``: poses
@@ -285,7 +311,47 @@ class LoopCloser:
         from ..optim import pose_graph
 
         m = self.map
-        K = m.n_kf
+        with self.lock:
+            K = m.n_kf
+            built = self._build_essential_problem(
+                pose_graph, kf1, kf2, K, R_before, t_before)
+        prob = built
+        if self.cfg.loop.fix_scale:
+            Rn, tn = pose_graph.optimize_pose_graph(
+                prob, iters=self.cfg.loop.essential_graph_iters
+            )
+            sn = np.ones(Rn.shape[0], np.float32)
+        else:
+            # monocular: 7-dof nodes absorb scale drift
+            # (OptimizeEssentialGraph fix_scale=false, Optimizer.cc:1135)
+            sprob = pose_graph.make_sim3_problem(prob.R.shape[0],
+                                                 prob.ei.shape[0])
+            sprob = sprob._replace(
+                R=prob.R, t=prob.t, fixed=prob.fixed, valid=prob.valid,
+                ei=prob.ei, ej=prob.ej, R_meas=prob.R_meas,
+                t_meas=prob.t_meas, w=prob.w, e_valid=prob.e_valid,
+            )
+            Rn, tn, sn = pose_graph.optimize_pose_graph_sim3(
+                sprob, iters=self.cfg.loop.essential_graph_iters
+            )
+            sn = np.asarray(sn)
+        Rn = np.asarray(Rn)
+        tn = np.asarray(tn)
+        with self.lock:
+            # apply (mono: fold scale into SE3 as [R | t/s]) + correct
+            # landmarks via their first KF's Sim3 correction; keyframes
+            # appended while the solver ran ride along via their anchor
+            old_R = m.kf_R[:K].copy()
+            old_t = m.kf_t[:K].copy()
+            for k in range(K):
+                if m.kf_valid[k]:
+                    m.set_kf_pose(k, Rn[k], tn[k] / sn[k])
+            self._transport_landmarks(K, old_R, old_t, Rn, tn, sn)
+            self._correct_appended_kfs(K, old_R, old_t)
+
+    def _build_essential_problem(self, pose_graph, kf1, kf2, K,
+                                 R_before, t_before):
+        m = self.map
         if R_before is None:
             R_meas_src, t_meas_src = m.kf_R, m.kf_t
         else:
@@ -351,51 +417,54 @@ class LoopCloser:
             tm[n] = Rs[i] @ tji + ts_[i]
             w[n] = wt
             ev[n] = True
-        prob = prob._replace(
+        return prob._replace(
             R=jnp.asarray(R), t=jnp.asarray(t),
             fixed=jnp.asarray(fixed), valid=jnp.asarray(valid),
             ei=jnp.asarray(ei), ej=jnp.asarray(ej),
             R_meas=jnp.asarray(Rm), t_meas=jnp.asarray(tm),
             w=jnp.asarray(w), e_valid=jnp.asarray(ev),
         )
-        if self.cfg.loop.fix_scale:
-            Rn, tn = pose_graph.optimize_pose_graph(
-                prob, iters=self.cfg.loop.essential_graph_iters
-            )
-            sn = np.ones(KCAP, np.float32)
-        else:
-            # monocular: 7-dof nodes absorb scale drift
-            # (OptimizeEssentialGraph fix_scale=false, Optimizer.cc:1135)
-            sprob = pose_graph.make_sim3_problem(KCAP, ECAP)
-            sprob = sprob._replace(
-                R=prob.R, t=prob.t, fixed=prob.fixed, valid=prob.valid,
-                ei=prob.ei, ej=prob.ej, R_meas=prob.R_meas,
-                t_meas=prob.t_meas, w=prob.w, e_valid=prob.e_valid,
-            )
-            Rn, tn, sn = pose_graph.optimize_pose_graph_sim3(
-                sprob, iters=self.cfg.loop.essential_graph_iters
-            )
-            sn = np.asarray(sn)
-        Rn = np.asarray(Rn)
-        tn = np.asarray(tn)
-        # apply (mono: fold scale into SE3 as [R | t/s]) + correct
-        # landmarks via their first KF's Sim3 correction
-        old_R = m.kf_R[:K].copy()
-        old_t = m.kf_t[:K].copy()
-        for k in range(K):
-            if m.kf_valid[k]:
-                m.set_kf_pose(k, Rn[k], tn[k] / sn[k])
+
+    def _transport_landmarks(self, K, old_R, old_t, Rn, tn, sn):
+        """Move every landmark rigidly with its first (reference) keyframe's
+        pose update (CorrectLoop's per-point Sim3 transport) — vectorized
+        batched 3x3 einsums instead of the reference's per-point walk."""
+        m = self.map
         pids = m.point_ids()
-        ref_kf = np.clip(m.pt_first_kf[pids], 0, K - 1)
-        for pid, rk in zip(pids, ref_kf):
-            pc = old_R[rk] @ m.pt_pos[pid] + old_t[rk]
-            m.pt_pos[pid] = Rn[rk].T @ ((pc - tn[rk]) / sn[rk])
+        if len(pids):
+            rk = np.clip(m.pt_first_kf[pids], 0, K - 1)
+            pc = np.einsum("nij,nj->ni", old_R[rk], m.pt_pos[pids]) \
+                + old_t[rk]
+            m.pt_pos[pids] = np.einsum(
+                "nji,nj->ni", Rn[rk], (pc - tn[rk]) / sn[rk, None])
         lids = m.line_ids()
-        ref_lk = np.clip(m.ln_first_kf[lids], 0, K - 1)
-        for lid, rk in zip(lids, ref_lk):
+        if len(lids):
+            rk = np.clip(m.ln_first_kf[lids], 0, K - 1)
             for i in (0, 1):
-                pc = old_R[rk] @ m.ln_ep[lid, i] + old_t[rk]
-                m.ln_ep[lid, i] = Rn[rk].T @ ((pc - tn[rk]) / sn[rk])
+                pc = np.einsum("nij,nj->ni", old_R[rk], m.ln_ep[lids, i]) \
+                    + old_t[rk]
+                m.ln_ep[lids, i] = np.einsum(
+                    "nji,nj->ni", Rn[rk], (pc - tn[rk]) / sn[rk, None])
+
+    def _correct_appended_kfs(self, K, old_R, old_t):
+        """Keyframes appended while a correction's device solve ran (the
+        tracker kept going) still carry the PRE-correction gauge: re-express
+        each against its anchor (parent, or the last pre-correction KF) —
+        the reference's post-GBA spanning-tree propagation
+        (LoopClosing.cc:1040-1090). Caller holds the map lock."""
+        m = self.map
+        for k in range(K, m.n_kf):
+            if not m.kf_valid[k]:
+                continue
+            a = int(m.kf_parent[k])
+            if a < 0 or a >= K:
+                a = K - 1
+            while a > 0 and not m.kf_valid[a]:
+                a -= 1
+            # T_k_new = (T_k_old ∘ T_a_old^-1) ∘ T_a_new
+            Rka = m.kf_R[k] @ old_R[a].T
+            tka = m.kf_t[k] - Rka @ old_t[a]
+            m.set_kf_pose(k, Rka @ m.kf_R[a], Rka @ m.kf_t[a] + tka)
 
     def _global_ba(self, kf1: int):
         """Full-map BA (RunGlobalBundleAdjustment, LoopClosing.cc:972-1119).
@@ -411,5 +480,15 @@ class LoopCloser:
         n_pts = m.n_points()
         point_cap = 1 << max(12, (max(n_pts, 1) - 1).bit_length())
         obs_cap = max(65536, 4 * point_cap)
+        with self.lock:
+            K = m.n_kf
+            old_R = m.kf_R[:K].copy()
+            old_t = m.kf_t[:K].copy()
         self.local_mapper.run_local_ba(
-            kf1, window=window, obs_cap=obs_cap, point_cap=point_cap)
+            kf1, window=window, obs_cap=obs_cap, point_cap=point_cap,
+            max_kf=K)
+        with self.lock:
+            # keyframes created while GBA iterated ride along via their
+            # anchors (RunGlobalBundleAdjustment tail, LoopClosing.cc:
+            # 1040-1090)
+            self._correct_appended_kfs(K, old_R, old_t)

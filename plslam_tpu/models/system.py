@@ -67,6 +67,10 @@ class System:
             LoopCloser(cfg, self.map, self.kfdb, self.voc, self.local_mapper)
             if enable_loop_closing else None
         )
+        if async_mapping and self.loop_closer is not None:
+            from .async_mapping import AsyncLoopCloser
+
+            self.loop_closer = AsyncLoopCloser(self.loop_closer)
         self.tracker = Tracker(cfg, self.map, local_mapper=self.local_mapper,
                                loop_closer=self.loop_closer, voc=self.voc,
                                kfdb=self.kfdb, sensor=sensor,
@@ -121,10 +125,16 @@ class System:
         self.tracker.reset()
 
     def shutdown(self):
-        """Drain the tracking pipeline and join the async mapping worker
-        (System::Shutdown, System.cc:313-335)."""
+        """Drain the tracking pipeline and join the async mapping and
+        loop-closing workers (System::Shutdown, System.cc:313-335)."""
         self.tracker.flush()
         lm = self.local_mapper
+        if hasattr(lm, "wait_idle"):
+            lm.wait_idle(timeout=30.0)
+        lc = self.loop_closer
+        if lc is not None and hasattr(lc, "wait_idle"):
+            lc.wait_idle(timeout=60.0)
+            lc.shutdown()
         if hasattr(lm, "wait_idle"):
             lm.wait_idle(timeout=30.0)
             lm.shutdown()
@@ -139,6 +149,9 @@ class System:
         lm = self.local_mapper
         if hasattr(lm, "wait_idle"):
             lm.wait_idle(timeout=30.0)
+        lc = self.loop_closer
+        if lc is not None and hasattr(lc, "wait_idle"):
+            lc.wait_idle(timeout=60.0)
         with tr._map_lock:
             pt_map, ln_map = self.map.compact()
             if tr.last_pt_ids is not None:
@@ -192,12 +205,20 @@ class System:
         return self.tracker.state
 
     # ---------------------------------------------------------------- savers
+    def _quiesce(self):
+        """Drain in-flight frames and let the async workers finish their
+        queues, so savers see a settled map."""
+        self.tracker.flush()
+        for w in (self.local_mapper, self.loop_closer):
+            if w is not None and hasattr(w, "wait_idle"):
+                w.wait_idle(timeout=60.0)
+
     def save_trajectory_tum(self, path: str):
         """Frame trajectory in TUM format (SaveTrajectoryTUM,
         System.cc:337-396). Poses are HEALED: each frame is re-composed
         against the current pose of its reference keyframe, so loop
         closures / GBA retroactively correct the whole trajectory."""
-        self.tracker.flush()
+        self._quiesce()
         traj = self.tracker.healed_trajectory()
         ts = [t for t, _, _ in traj]
         poses = [se3_inv_np(R, t) for _, R, t in traj]
@@ -216,7 +237,7 @@ class System:
     def save_trajectory_kitti(self, path: str):
         """SaveTrajectoryKITTI (System.cc:443-487). Healed like the TUM
         saver: poses re-composed against current reference-keyframe poses."""
-        self.tracker.flush()
+        self._quiesce()
         poses = [se3_inv_np(R, t)
                  for _, R, t in self.tracker.healed_trajectory()]
         tum_io.save_trajectory_kitti(path, poses)

@@ -584,6 +584,20 @@ class Tracker:
             pd = 4 if jax.default_backend() == "tpu" else 1
         self.pipeline_depth = pd
         self._queue: list[dict] = []
+        # --- gauge-correction protocol (loop closing / GBA): a correction
+        # rewrites keyframe poses while this tracker (and possibly frames
+        # in flight) still live in the PRE-correction gauge. The corrector
+        # never touches tracker state directly — it publishes the rigid
+        # delta D = T_kf1_old^-1 ∘ T_kf1_new under the map lock
+        # (apply_gauge_correction); the tracker thread applies it at the
+        # next process() call: device pose state is right-composed with D,
+        # the local map re-uploads corrected landmarks, and frames
+        # dispatched BEFORE the correction have their fetched poses
+        # composed at retirement (epoch counter). The reference instead
+        # stalls Tracking on Map::mMutexMapUpdate for the whole correction.
+        self._pending_gauge: tuple[np.ndarray, np.ndarray] | None = None
+        self._corr_epoch = 0
+        self._corr_deltas: list[tuple[np.ndarray, np.ndarray]] = []
         self._id_pt = jnp.arange(self.LM_CAP, dtype=jnp.int32)
         self._id_ln = jnp.arange(self.LL_CAP, dtype=jnp.int32)
         self._pt_remap = self._id_pt
@@ -600,6 +614,8 @@ class Tracker:
         multi-sequence frontend vmaps the fused step over sequences and
         hands each tracker its slice)."""
         self.frame_id += 1
+        if self.state == OK and self._pending_gauge is not None:
+            self._apply_pending_gauge()
         if precomputed_out is None:
             gray, depth = self._quantize_inputs(gray, depth)
             gray = jnp.asarray(gray)
@@ -654,6 +670,7 @@ class Tracker:
         self._queue.append(dict(
             out=out, timestamp=timestamp, frame_id=self.frame_id,
             lp_ids=self._lp_ids, ll_ids=self._ll_ids,
+            epoch=self._corr_epoch,
         ))
         return result
 
@@ -681,6 +698,45 @@ class Tracker:
                 self._queue.clear()
                 self.state = LOST
                 self.n_lost_frames += 1
+
+    def apply_gauge_correction(self, R_delta: np.ndarray,
+                               t_delta: np.ndarray):
+        """Publish a rigid gauge delta (T_old^-1 ∘ T_new of a corrected
+        anchor keyframe) for the tracker thread to apply. Called by the
+        loop closer — possibly from a worker thread — under the map lock."""
+        if self._pending_gauge is None:
+            self._pending_gauge = (np.asarray(R_delta, np.float32),
+                                   np.asarray(t_delta, np.float32))
+        else:  # compose with a not-yet-consumed delta: D = D_prev ∘ D_new
+            Rp, tp = self._pending_gauge
+            self._pending_gauge = (
+                (Rp @ R_delta).astype(np.float32),
+                (Rp @ t_delta + tp).astype(np.float32))
+
+    def _apply_pending_gauge(self):
+        """Tracker thread: fold the published correction into device pose
+        state (T ∘ D), re-upload the corrected local map, and remember the
+        delta so frames dispatched before the correction retire in the new
+        gauge."""
+        with self._map_lock:
+            if self._pending_gauge is None:
+                return
+            dR, dt = self._pending_gauge
+            self._pending_gauge = None
+            self._corr_deltas.append((dR, dt))
+            self._corr_epoch += 1
+            R = np.asarray(self._R)
+            t = np.asarray(self._t)
+            self._R = jnp.asarray(R @ dR)
+            self._t = jnp.asarray(R @ dt + t)
+            # velocity T_cur ∘ T_prev^-1 is gauge-invariant under a right
+            # composition; last_pose mirrors the device state
+            if self.last_pose is not None:
+                Rl, tl = self.last_pose
+                self.last_pose = (Rl @ dR, Rl @ dt + tl)
+            if self.last_pt_ids is not None and self._lm_args is not None:
+                self._refresh_local_map(self.last_pt_ids, self.last_ln_ids,
+                                        rebind=False)
 
     def _record_pose(self, timestamp: float, R: np.ndarray, t: np.ndarray,
                      ref: int | None = None):
@@ -815,6 +871,9 @@ class Tracker:
         if out is None:
             return False
         R, t, cur_pt_ids = out
+        # the relocalized pose comes from the CURRENT map gauge; drop any
+        # correction published for the abandoned pre-LOST state
+        self._pending_gauge = None
         self.state = OK
         self.n_lost_frames = 0
         self.last_pose = (R, t)
@@ -842,6 +901,7 @@ class Tracker:
         self.n_lost_frames = 0
         self._has_vel = jnp.asarray(False)
         self._lm_args = None
+        self._pending_gauge = None
 
     # ------------------------------------------------------ initialization
     def _stereo_initialization(self, fd: FrameData, timestamp: float) -> bool:
@@ -1008,6 +1068,11 @@ class Tracker:
             ln_ep_un, ln_desc, ln_depth, ln_valid)
         R = np.array(R)  # own the pose (the views borrow the wire buffer)
         t = np.array(t)
+        # frames dispatched before a gauge correction retire in the NEW
+        # gauge: right-compose every delta published since dispatch
+        for dR, dt in self._corr_deltas[pending.get("epoch",
+                                                    self._corr_epoch):]:
+            R, t = R @ dR, R @ dt + t
         n_mm, n_mi, n_li, tc, cc = (int(v) for v in stats)
         self.debug = {
             "motion_matches": int(n_mm), "motion_inliers": int(n_mi),

@@ -1,0 +1,124 @@
+"""Asynchronous loop closing + GBA (the reference's LoopClosing thread).
+
+Round-2 gap: loop closing ran synchronously inside keyframe creation, so a
+loop event stalled the frame loop for the whole essential-graph + GBA
+duration. Now LoopClosing runs on a worker (models.async_mapping.
+AsyncLoopCloser) and corrections reach the pipelined tracker through the
+gauge-delta protocol (Tracker.apply_gauge_correction).
+"""
+
+import time
+
+import numpy as np
+
+import tests.conftest  # noqa: F401
+import jax.numpy as jnp
+
+from plslam_tpu.config import SlamConfig
+from plslam_tpu.geometry import se3
+from plslam_tpu.geometry.projection import Camera
+from plslam_tpu.models.system import System
+from plslam_tpu.utils.evaluate import ate_rmse, trajectory_positions
+from plslam_tpu.utils.synthetic import RoomScene
+
+from tests.test_loop_closing import orbit_poses
+
+CAM = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
+
+
+def test_loop_closes_async_without_stalling_frame_loop():
+    """Track the full orbit with BOTH workers async. The loop pipeline
+    (detect -> Sim3 -> correct -> essential graph -> GBA) must fire on the
+    worker, frame retirement must never stall for the GBA duration, and
+    the healed trajectory must come out consistent."""
+    cfg = SlamConfig(camera=CAM)
+    slam = System(cfg, enable_loop_closing=True, async_mapping=True)
+    scene = RoomScene(3)
+    n = 150
+    poses = orbit_poses(n)
+    times = np.zeros(n)
+    lc = slam.loop_closer
+    frames_during_loop = 0
+    retired_during_loop = 0
+    for i, (R, t) in enumerate(poses):
+        g, d = scene.render(CAM, R, t)
+        busy = not lc._idle.is_set()
+        t0 = time.perf_counter()
+        out = slam.track_rgbd(g, d, i / 30.0)
+        times[i] = time.perf_counter() - t0
+        if busy:
+            frames_during_loop += 1
+            if out is not None:
+                retired_during_loop += 1
+    slam._quiesce()
+    assert lc.n_loops_closed >= 1, "async loop closure never fired"
+    # the sync design processed the ENTIRE loop pass (detect -> Sim3 ->
+    # correction -> GBA) inside one frame's keyframe creation; async, the
+    # tracker must keep dispatching AND retiring frames while the loop
+    # worker runs. (Latency bounds are a TPU property — on the CPU test
+    # device a single stepped-BA chunk monopolizes the cores — so the
+    # CPU-testable claim is continued retirement, not p99.)
+    assert frames_during_loop >= 3, "no frames processed during loop pass"
+    assert retired_during_loop >= 1, "no frame retired during loop pass"
+
+    gt_ts = np.array([i / 30.0 for i in range(n)])
+    gt_pos = np.array([-(R.T @ t) for R, t in poses])
+    heal_ts, heal_pos = trajectory_positions(slam.tracker.healed_trajectory())
+    rmse, n_pairs, _ = ate_rmse(gt_ts, gt_pos, heal_ts, heal_pos)
+    assert n_pairs > 0.9 * n
+    assert rmse < 0.15, f"healed ATE {rmse*100:.1f}cm after async loop"
+    slam.shutdown()
+
+
+def test_gauge_delta_composes_pipelined_frames():
+    """apply_gauge_correction published mid-run must (a) move the device
+    pose state, (b) re-express frames dispatched BEFORE the correction at
+    retirement — so the whole recorded trajectory lands in one gauge."""
+    cfg = SlamConfig(camera=CAM)
+    slam = System(cfg, enable_loop_closing=False, async_mapping=False)
+    scene = RoomScene(3)
+    poses = orbit_poses(150)[:40]
+    tr = slam.tracker
+    delta_R = np.asarray(
+        se3.so3_exp(jnp.asarray([0.0, 0.05, 0.0], jnp.float32))
+    ).astype(np.float32)
+    delta_t = np.array([0.1, -0.05, 0.2], np.float32)
+    applied_at = 25
+    for i, (R, t) in enumerate(poses):
+        g, d = scene.render(CAM, R, t)
+        slam.track_rgbd(g, d, i / 30.0)
+        if i == applied_at:
+            # emulate a loop-closer correction: move every KF + landmark by
+            # the world transform matching the delta, then publish it
+            m = slam.map
+            for k in range(m.n_kf):
+                if m.kf_valid[k]:
+                    Rk, tk = m.kf_R[k], m.kf_t[k]
+                    m.set_kf_pose(k, Rk @ delta_R, Rk @ delta_t + tk)
+            pids = m.point_ids()
+            m.pt_pos[pids] = (m.pt_pos[pids] - delta_t) @ delta_R
+            lids = m.line_ids()
+            for j in (0, 1):
+                m.ln_ep[lids, j] = (m.ln_ep[lids, j] - delta_t) @ delta_R
+            tr.apply_gauge_correction(delta_R, delta_t)
+    tr.flush()
+    assert len(tr.trajectory) >= 35
+    # the AS-TRACKED trajectory has exactly one gauge jump at the
+    # correction (frames before it keep their old-gauge records); the
+    # HEALED trajectory re-expresses every frame against corrected
+    # keyframes and must be continuous across the correction
+    gt_centers = np.array([-(R.T @ t) for R, t in poses])
+    gt_step_max = np.linalg.norm(np.diff(gt_centers, axis=0), axis=1).max()
+    raw_centers = np.array([-(R.T @ t) for _, R, t in tr.trajectory])
+    raw_steps = np.linalg.norm(np.diff(raw_centers, axis=0), axis=1)
+    assert raw_steps.max() > 0.15, "expected the raw-gauge jump"
+    heal = tr.healed_trajectory()
+    heal_centers = np.array([-(R.T @ t) for _, R, t in heal])
+    heal_steps = np.linalg.norm(np.diff(heal_centers, axis=0), axis=1)
+    assert heal_steps.max() < 4 * gt_step_max + 0.02, (
+        f"healed gauge discontinuity: {heal_steps.max()*100:.1f}cm")
+    # post-correction poses live in the displaced gauge: recorded == healed
+    for (_, Ra, ta), (_, Rh, th) in list(zip(tr.trajectory, heal))[-5:]:
+        np.testing.assert_allclose(Ra, Rh, atol=5e-2)
+        np.testing.assert_allclose(ta, th, atol=5e-2)
+    slam.shutdown()
