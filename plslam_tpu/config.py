@@ -144,6 +144,11 @@ class MappingConfig:
     # whole-map GBA through CG.
     ba_dense_camera_cap: int = 64
     ba_cg_iters: int = 48                 # PCG iterations per LM step
+    # Past the dense cap, when >1 device is visible (one host's chips or a
+    # jax.distributed multi-host slice), whole-map GBA shards its landmark
+    # blocks over the mesh (parallel.ba.distributed_bundle_adjust)
+    use_distributed_ba: bool = True
+    distributed_ba_iters: int = 8         # damped GN steps on the mesh
 
 
 @dataclass(frozen=True)

@@ -761,8 +761,28 @@ class LocalMapper:
         # mutex and is interruptible)
         self.lock.release()
         locked = False
+        distributed = (
+            C > mc.ba_dense_camera_cap and mc.use_distributed_ba
+            and jax.device_count() > 1
+        )
         try:
-            if C > mc.ba_dense_camera_cap:
+            if distributed:
+                # whole-map GBA on the device mesh: landmark blocks sharded
+                # over every visible chip (one host's, or a jax.distributed
+                # multi-host slice), reduced camera system psum'd over ICI
+                # (parallel.ba). Points-only like the reference's GBA
+                # (Optimizer.cc:60-374); lines ride their reference KFs in
+                # the write-back below.
+                from ..parallel import ba as pba
+                from ..parallel import mesh as pmesh
+
+                nR, nt, nxyz, inl = pba.distributed_bundle_adjust(
+                    self.cfg.camera, prob, pmesh.make_ba_mesh(),
+                    iters=mc.distributed_ba_iters, cg_iters=mc.ba_cg_iters,
+                )
+                nep = np.array(prob.ln_ep)  # writable copy: transported below
+                linl = np.asarray(prob.lobs_valid)
+            elif C > mc.ba_dense_camera_cap:
                 # whole-map scale: matrix-free PCG Schur (optim.ba_cg) —
                 # the dense (C,C,6,6)+(P,C,6,3) tensors don't fit here
                 from ..optim import ba_cg
@@ -779,13 +799,27 @@ class LocalMapper:
                     iters2=mc.local_ba_iters2,
                     should_abort=self.should_abort,
                 )
-            (nR, nt, nxyz, nep, inl, linl) = jax.device_get(
-                (res.cam_R, res.cam_t, res.pt_xyz, res.ln_ep,
-                 res.obs_inlier, res.lobs_inlier)
-            )
+            if not distributed:
+                (nR, nt, nxyz, nep, inl, linl) = jax.device_get(
+                    (res.cam_R, res.cam_t, res.pt_xyz, res.ln_ep,
+                     res.obs_inlier, res.lobs_inlier)
+                )
         finally:
             self.lock.acquire()
             locked = True
+        if distributed and kl:
+            # transport line endpoints rigidly with their reference KF's
+            # pose update (the loop-closer's landmark transport pattern)
+            rk = m.ln_first_kf[lids]
+            ci = np.array([cam_index.get(int(r), -1) for r in rk], np.int32)
+            mv = (ci >= 0) & ~cam_fixed[np.clip(ci, 0, None)]
+            if mv.any():
+                c = ci[mv]
+                for i in (0, 1):
+                    pc_ = np.einsum("nij,nj->ni", cam_R[c],
+                                    ln_ep[:kl][mv, i]) + cam_t[c]
+                    nep[:kl][mv, i] = np.einsum(
+                        "nji,nj->ni", nR[c], pc_ - nt[c])
         # write back — guarding landmarks/KFs erased while the lock was out
         for i, c in enumerate(cams):
             if not cam_fixed[i] and m.kf_valid[c]:

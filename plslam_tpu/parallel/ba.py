@@ -96,6 +96,82 @@ def shard_problem(cam_R, cam_t, cam_fixed, pt_xyz, pt_valid,
     )
 
 
+def unshard_points(Xs: np.ndarray, n_points: int) -> np.ndarray:
+    """Invert shard_problem's round-robin point partition: (S, Ps, 3) back
+    to global (n_points, 3) order."""
+    S, Ps, _ = Xs.shape
+    out = np.zeros((n_points, 3), Xs.dtype)
+    ids = np.arange(n_points)
+    out[ids] = Xs[ids % S, ids // S]
+    return out
+
+
+def distributed_bundle_adjust(cam, prob, mesh: Mesh, iters: int = 8,
+                              cg_iters: int = 32,
+                              chi2_mono: float = CHI2_MONO,
+                              chi2_stereo: float = CHI2_STEREO):
+    """Run the engine's gathered point-BA problem on a device mesh.
+
+    ``prob`` is the engine's ``optim.local_ba.BAProblem`` (duck-typed: the
+    point fields are read; line fields are ignored — the reference's GBA is
+    points-only, Optimizer.cc:60-374, and map lines ride along via their
+    reference keyframes). The landmark blocks are round-robin sharded over
+    the mesh's ``obs`` axis; each damped GN step relinearizes and solves
+    the reduced camera system with the matrix-free sharded PCG
+    (distributed_cg_step) so nothing quadratic in C exists on any chip.
+
+    Returns (cam_R, cam_t, pt_xyz, obs_inlier) as host numpy in the
+    problem's global ordering — a drop-in for the single-device
+    ``ba_cg.bundle_adjust_cg_stepped`` write-back path.
+    """
+    cam_R = np.asarray(prob.cam_R)
+    cam_t = np.asarray(prob.cam_t)
+    cam_fixed = np.asarray(prob.cam_fixed) | ~np.asarray(prob.cam_valid)
+    pt_xyz = np.asarray(prob.pt_xyz)
+    pt_valid = np.asarray(prob.pt_valid)
+    obs_cam = np.asarray(prob.obs_cam)
+    obs_pt = np.asarray(prob.obs_pt)
+    obs_uv = np.asarray(prob.obs_uv)
+    obs_ur = np.asarray(prob.obs_ur)
+    obs_w = np.asarray(prob.obs_w)
+    obs_valid = np.asarray(prob.obs_valid)
+    n_shards = int(mesh.shape["obs"])  # landmark blocks shard this axis
+    P_total = pt_xyz.shape[0]
+
+    sharded = shard_problem(
+        cam_R, cam_t, cam_fixed, pt_xyz, pt_valid,
+        obs_cam, obs_pt, obs_uv, obs_ur, obs_w, obs_valid,
+        n_shards=n_shards,
+    )
+    lam = 1e-3
+    for _ in range(iters):
+        Rn, tn, Xn = distributed_cg_step(cam, sharded, mesh, lam=lam,
+                                         cg_iters=cg_iters)
+        sharded = sharded._replace(cam_R=Rn, cam_t=tn, pt_xyz=Xn)
+        lam = max(lam * 0.5, 1e-5)
+
+    Rn = np.asarray(sharded.cam_R)
+    tn = np.asarray(sharded.cam_t)
+    Xn = unshard_points(np.asarray(sharded.pt_xyz), P_total)
+
+    # chi2 inlier classification at the final state (host, vectorized):
+    # the engine's write-back erases outlier observations
+    Ro = Rn[obs_cam]
+    to = tn[obs_cam]
+    pc = np.einsum("oij,oj->oi", Ro, Xn[obs_pt]) + to
+    z = np.where(np.abs(pc[:, 2]) > 1e-6, pc[:, 2], 1e-6)
+    u = cam.fx * pc[:, 0] / z + cam.cx
+    v = cam.fy * pc[:, 1] / z + cam.cy
+    du = u - obs_uv[:, 0]
+    dv = v - obs_uv[:, 1]
+    stereo = obs_ur >= 0
+    dur = np.where(stereo, (u - cam.bf / z) - obs_ur, 0.0)
+    chi2 = obs_w * (du**2 + dv**2 + dur**2)
+    inlier = obs_valid & (pc[:, 2] > 0) & np.where(
+        stereo, chi2 <= chi2_stereo, chi2 <= chi2_mono)
+    return Rn, tn, Xn, inlier
+
+
 def _point_residual(cam, R, t, X, uv, ur):
     pc = R @ X + t
     z = jnp.where(jnp.abs(pc[2]) > 1e-6, pc[2], 1e-6)

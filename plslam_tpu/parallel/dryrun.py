@@ -142,3 +142,31 @@ def run(n_devices: int) -> None:
     Rc, tc, Xc = pba.distributed_cg_step(cam, prob, ba_mesh, cg_iters=8)
     jax.block_until_ready((Rc, tc, Xc))
     assert Rc.shape == (n_cams, 3, 3)
+
+    # ---- phase 4: the ENGINE's own GBA path (real SlamMap -> gathered
+    # BAProblem -> LocalMapper.run_local_ba -> parallel.ba on the mesh).
+    # Round 2 shipped the kernels without a route from the live engine;
+    # this validates the route end-to-end on the virtual mesh.
+    import dataclasses
+
+    from ..config import SlamConfig
+    from ..models.local_mapping import LocalMapper
+    from ..utils.synthetic import make_synthetic_ba_map
+
+    cfg = SlamConfig(camera=Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5,
+                                   bf=40.0))
+    cfg = dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping,
+                                         use_distributed_ba=True,
+                                         distributed_ba_iters=4))
+    slam_map, gt_poses, _ = make_synthetic_ba_map(
+        cfg, n_kf=72, n_pts=200, obs_per_kf=48, seed=1)
+    mapper = LocalMapper(cfg, slam_map)
+    mapper.run_local_ba(0, window=128, obs_cap=1 << 13, point_cap=256)
+    errs = []
+    for k, (Rgt, tgt) in enumerate(gt_poses):
+        if slam_map.kf_valid[k]:
+            errs.append(np.linalg.norm(
+                -(slam_map.kf_R[k].T @ slam_map.kf_t[k]) - (-(Rgt.T @ tgt))))
+    mean_err = float(np.mean(errs))
+    assert mean_err < 0.02, f"engine distributed GBA did not converge: {mean_err}"

@@ -17,6 +17,50 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+_distributed_initialized = False
+
+
+def initialize_distributed(coordinator_address: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> int:
+    """Multi-host bootstrap: ``jax.distributed.initialize`` so
+    ``jax.devices()`` spans every host of a pod slice and the meshes built
+    below ride ICI/DCN collectives across them (BASELINE's 2-host scaling
+    target). Arguments default to the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID — on
+    Cloud TPU pods jax.distributed autodetects all three). Idempotent;
+    returns the global device count. Single-process runs (no coordinator
+    configured) are a no-op."""
+    global _distributed_initialized
+    import os
+
+    if _distributed_initialized:
+        return len(jax.devices())
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    nproc = num_processes if num_processes is not None else \
+        int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    if addr is None and nproc == 0 and process_id is None \
+            and "TPU_WORKER_HOSTNAMES" not in os.environ:
+        return len(jax.devices())  # single-process: nothing to do
+    kwargs = {}
+    if addr is not None:
+        kwargs["coordinator_address"] = addr
+    if nproc:
+        kwargs["num_processes"] = nproc
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    _distributed_initialized = True
+    return len(jax.devices())
+
+
+def make_ba_mesh(n_devices: int | None = None) -> Mesh:
+    """1-D landmark-sharding mesh over every (possibly multi-host) device:
+    the axis the distributed BA psums ride."""
+    devs = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.array(devs).reshape(-1), ("obs",))
+
+
 def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
     """Build a (dp, obs) mesh over the first n_devices devices."""
     devs = jax.devices()[: n_devices or len(jax.devices())]
