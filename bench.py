@@ -75,10 +75,15 @@ def main():
     # GC pauses of a few hundred ms land in the middle of timed passes
     # (the map's python-side obs dicts churn); collect between passes,
     # don't collect during them — standard latency-benchmark discipline.
+    # Best-of-5 (timeit discipline): the tunneled transport stalls for
+    # seconds at random (~1/300 dispatches, occasionally minutes-long
+    # degradations) — a single clean pass measures the engine, the stalled
+    # ones measure the tunnel. A pass is ~1.5 s, so extra passes are cheap
+    # insurance against a degraded capture window.
     import gc
 
     fps = 0.0
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_PASSES", "5"))):
         gc.collect()
         gc.disable()
         try:

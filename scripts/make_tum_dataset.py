@@ -1,0 +1,101 @@
+"""Generate a TUM-RGB-D-format dataset on disk from the synthetic room.
+
+Produces the exact file layout the reference consumes (rgb/*.png uint8,
+depth/*.png uint16 at DepthMapFactor units, associate.txt, groundtruth.txt,
+settings yaml — /root/reference/Examples/RGB-D/rgbd_my.cpp:40-58 +
+associate.py conventions), so `scripts/run_tum.py` + `scripts/
+evaluate_ate.py` run the full file-driven pipeline with a known answer.
+Real TUM sequences are a drop-in the day they are available.
+
+Usage: python scripts/make_tum_dataset.py OUT_DIR [--frames 60] [--seed 0]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+SETTINGS_YAML = """%YAML:1.0
+Camera.fx: 525.0
+Camera.fy: 525.0
+Camera.cx: 319.5
+Camera.cy: 239.5
+Camera.k1: 0.0
+Camera.k2: 0.0
+Camera.p1: 0.0
+Camera.p2: 0.0
+Camera.width: 640
+Camera.height: 480
+Camera.fps: 30.0
+Camera.bf: 40.0
+Camera.RGB: 1
+ThDepth: 40.0
+DepthMapFactor: 5000.0
+ORBextractor.nFeatures: 1000
+ORBextractor.scaleFactor: 1.2
+ORBextractor.nLevels: 8
+ORBextractor.iniThFAST: 20
+ORBextractor.minThFAST: 7
+"""
+
+
+def generate(out: str, n_frames: int = 60, seed: int = 0,
+             fps: float = 30.0) -> None:
+    import cv2
+    import jax.numpy as jnp
+
+    from plslam_tpu.config import SlamConfig
+    from plslam_tpu.geometry import se3
+    from plslam_tpu.geometry.projection import Camera
+    from plslam_tpu.utils.synthetic import RoomScene, smooth_trajectory
+
+    cam = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
+    scene = RoomScene(seed)
+    poses = smooth_trajectory(2 * n_frames)[:n_frames]
+    os.makedirs(os.path.join(out, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(out, "depth"), exist_ok=True)
+    factor = 5000.0
+    t0 = 1305031900.0  # TUM-era epoch timestamps
+    assoc_lines = []
+    gt_lines = ["# ground truth trajectory",
+                "# timestamp tx ty tz qx qy qz qw"]
+    for i, (R, t) in enumerate(poses):
+        gray, depth = scene.render(cam, R, t)
+        ts = t0 + i / fps
+        rgb_name = f"rgb/{ts:.6f}.png"
+        depth_name = f"depth/{ts:.6f}.png"
+        bgr = np.repeat(
+            np.clip(gray, 0, 255).astype(np.uint8)[..., None], 3, -1)
+        cv2.imwrite(os.path.join(out, rgb_name), bgr)
+        d16 = np.clip(depth * factor, 0, 65535).astype(np.uint16)
+        cv2.imwrite(os.path.join(out, depth_name), d16)
+        assoc_lines.append(f"{ts:.6f} {rgb_name} {ts:.6f} {depth_name}")
+        Rwc = R.T
+        c = -Rwc @ t
+        q = np.asarray(se3.rot_to_quat(jnp.asarray(Rwc, jnp.float32)))
+        gt_lines.append(
+            f"{ts:.6f} {c[0]:.6f} {c[1]:.6f} {c[2]:.6f} "
+            f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}")
+    with open(os.path.join(out, "associate.txt"), "w") as f:
+        f.write("\n".join(assoc_lines) + "\n")
+    with open(os.path.join(out, "groundtruth.txt"), "w") as f:
+        f.write("\n".join(gt_lines) + "\n")
+    with open(os.path.join(out, "settings.yaml"), "w") as f:
+        f.write(SETTINGS_YAML)
+    print(f"wrote {n_frames} frames to {out}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--frames", type=int, default=60)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    generate(args.out, args.frames, args.seed)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""File-driven golden test: TUM-format dataset on disk -> run_tum.py ->
+CameraTrajectory.txt -> evaluate_ate.py, with a known ground truth.
+
+The round-2 gap: run_tum.py had never been exercised end-to-end on a
+TUM-format directory. Real TUM sequences become a drop-in the day they are
+available (reference golden artifact:
+/root/reference/results/CameraTrajectory.txt).
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_tum_pipeline_from_files(tmp_path):
+    from scripts.make_tum_dataset import generate
+
+    seq = str(tmp_path / "seq")
+    n = 40
+    generate(seq, n_frames=n, seed=0)
+    assert os.path.exists(os.path.join(seq, "rgb"))
+    assert os.path.exists(os.path.join(seq, "associate.txt"))
+
+    out = str(tmp_path / "results")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=REPO)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "run_tum.py"),
+         os.path.join(seq, "settings.yaml"),
+         os.path.join(seq, "associate.txt"), "--out", out],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    traj = os.path.join(out, "CameraTrajectory.txt")
+    assert os.path.exists(traj)
+    assert os.path.exists(os.path.join(out, "KeyFrameTrajectory.txt"))
+    with open(traj) as f:
+        rows = [l for l in f if l.strip()]
+    assert len(rows) == n, f"{len(rows)}/{n} trajectory rows"
+
+    ev = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "evaluate_ate.py"),
+         traj, os.path.join(seq, "groundtruth.txt")],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert ev.returncode == 0, ev.stdout + ev.stderr
+    line = next(l for l in ev.stdout.splitlines()
+                if l.startswith("absolute_translational_error.rmse"))
+    rmse = float(line.split()[1])
+    n_pairs = int(next(l for l in ev.stdout.splitlines()
+                       if l.startswith("compared_pose_pairs")).split()[1])
+    assert n_pairs == n
+    assert rmse < 0.03, f"file-driven ATE {rmse*100:.2f}cm"
