@@ -46,16 +46,35 @@ _jax.config.update("jax_default_matmul_precision", "float32")
 # is keyed by this host's CPU feature set: XLA:CPU AOT executables are
 # machine-code specialized, and loading one compiled on a different
 # microarchitecture can SIGILL.
-if not _os.environ.get("PLSLAM_NO_COMPILE_CACHE"):
+if not _os.environ.get("PLSLAM_NO_COMPILE_CACHE") \
+        and _os.environ.get("JAX_PLATFORMS") != "cpu":
+    # The cache exists for the TPU path (first compiles stall the shared
+    # tunneled transport for tens of seconds). On the forced-CPU path
+    # (tests/conftest.py) it is DISABLED: serializing some XLA:CPU
+    # executables crashes this jaxlib (observed: SIGSEGV in
+    # put_executable_and_time and SIGABRT in get_executable_and_time on
+    # the stereo build_frame program), and CPU AOT code is
+    # microarchitecture-specialized anyway.
     import hashlib as _hashlib
 
     try:
         with open("/proc/cpuinfo") as _f:
-            _feat = next((l for l in _f if l.startswith("flags")), "")
+            _lines = _f.readlines()
+        _feat = next((l for l in _lines if l.startswith("flags")), "") + \
+            next((l for l in _lines if l.startswith("model name")), "")
+        del _lines
     except OSError:  # pragma: no cover - non-Linux
         import platform as _platform
 
         _feat = _platform.processor()
+    # key on jaxlib too: serialized executables are not stable across
+    # jaxlib versions, and on the CPU feature set + model: XLA:CPU AOT
+    # code is microarchitecture-specialized — a stale entry from another
+    # machine aborts (observed: SIGABRT in get_executable_and_time) or
+    # SIGILLs on load
+    import jaxlib as _jaxlib
+
+    _feat += getattr(_jaxlib, "__version__", "?")
     _key = _hashlib.sha1(_feat.encode()).hexdigest()[:10]
     _cache = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",

@@ -97,8 +97,14 @@ def l1_scores(q: jax.Array, refs: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------- training
 
 
-def _kmajority(desc_bits: np.ndarray, k: int, rng, iters: int = 8):
-    """Binary k-means: assign by Hamming, centroid = per-bit majority."""
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _kmajority(desc_bits: np.ndarray, k: int, rng, iters: int = 8,
+               chunk: int = 1 << 16):
+    """Binary k-means: assign by Hamming, centroid = per-bit majority.
+    Distances go through a byte-popcount LUT in row chunks so corpora of
+    ~10^6 descriptors (the 10^5-word vocabulary scale) stay in memory."""
     n = desc_bits.shape[0]
     if n <= k:
         cents = np.zeros((k, desc_bits.shape[1]), np.uint8)
@@ -108,8 +114,11 @@ def _kmajority(desc_bits: np.ndarray, k: int, rng, iters: int = 8):
     cents = desc_bits[rng.choice(n, k, replace=False)].copy()
     assign = np.zeros(n, np.int64)
     for _ in range(iters):
-        d = np.unpackbits(desc_bits[:, None, :] ^ cents[None, :, :], axis=2).sum(2)
-        assign = d.argmin(1)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            x = desc_bits[s:e, None, :] ^ cents[None, :, :]
+            d = _POPCNT8[x].sum(2, dtype=np.int32)
+            assign[s:e] = d.argmin(1)
         for c in range(k):
             sel = desc_bits[assign == c]
             if len(sel):

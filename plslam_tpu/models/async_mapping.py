@@ -131,6 +131,10 @@ class AsyncLoopCloser:
         return self.inner.last_loop_kf
 
     @property
+    def last_loop_pair(self):
+        return self.inner.last_loop_pair
+
+    @property
     def enable_gba(self):
         return self.inner.enable_gba
 

@@ -357,8 +357,9 @@ class LocalMapper:
                         continue
                     bound = int(m.kf_ln_idx[kf, feat])
                     if bound < 0:
-                        m.add_line_obs(lid, kf, feat)
-                        touched.append(lid)
+                        if kf not in m.ln_obs[lid]:  # IsInKeyFrame guard
+                            m.add_line_obs(lid, kf, feat)
+                            touched.append(lid)
                     elif bound != lid and m.ln_valid[bound]:
                         winner, loser = (
                             (lid, bound)
@@ -416,8 +417,9 @@ class LocalMapper:
                         feat = int(idx2[ki, i])
                         bound = int(m.kf_ln_idx[okf, feat])
                         if bound < 0:
-                            m.add_line_obs(lid, okf, feat)
-                            touched.append(lid)
+                            if okf not in m.ln_obs[lid]:  # IsInKeyFrame
+                                m.add_line_obs(lid, okf, feat)
+                                touched.append(lid)
                         elif bound != lid and m.ln_valid[bound]:
                             winner, loser = (
                                 (bound, lid)
@@ -484,8 +486,9 @@ class LocalMapper:
                         continue  # erased while unlocked
                     bound = int(m.kf_pt_idx[kf, feat])
                     if bound < 0:
-                        m.add_point_obs(pid, kf, feat)
-                        touched.append(pid)
+                        if kf not in m.pt_obs[pid]:  # IsInKeyFrame guard
+                            m.add_point_obs(pid, kf, feat)
+                            touched.append(pid)
                     elif bound != pid and m.pt_valid[bound]:
                         # merge: keep the better-observed landmark (Replace)
                         winner, loser = (
@@ -565,8 +568,9 @@ class LocalMapper:
                     feat = int(idx2[ki, i])
                     bound = int(m.kf_pt_idx[okf, feat])
                     if bound < 0:
-                        m.add_point_obs(pid, okf, feat)
-                        touched.append(pid)
+                        if okf not in m.pt_obs[pid]:  # IsInKeyFrame guard
+                            m.add_point_obs(pid, okf, feat)
+                            touched.append(pid)
                     elif bound != pid and m.pt_valid[bound]:
                         # prefer the older landmark on ties (stability)
                         winner, loser = (

@@ -49,6 +49,7 @@ class LoopCloser:
         self.tracker = tracker
         self.prev_groups: list[tuple[set[int], int]] = []
         self.last_loop_kf = -(10**9)
+        self.last_loop_pair: tuple[int, int] | None = None  # (kf1, kf2)
         self.n_loops_closed = 0
         self.enable_gba = True
         # map-update lock shared with the mapper/tracker (RLock: nested
@@ -73,12 +74,13 @@ class LoopCloser:
                 self._correct_loop(kf, cand, R12, t12, s12)
                 self.n_loops_closed += 1
                 self.last_loop_kf = kf
+                self.last_loop_pair = (kf, cand)
                 return
 
     # ----------------------------------------------------------- detection
     def _detect_loop(self, kf: int) -> list[int]:
         m = self.map
-        bow = self.kfdb.bows[kf]
+        bow = self.kfdb.get_bow(kf)
         covis = set(m.covisible_keyframes(kf))
         if not covis:
             return []
@@ -392,9 +394,13 @@ class LoopCloser:
         t[:K] = m.kf_t[:K]
         valid = np.zeros(KCAP, bool)
         valid[:K] = m.kf_valid[:K]
+        # ONLY the loop keyframe is fixed (Optimizer.cc:1117): it alone
+        # anchors the gauge. Fixing KF0 as well plants a second anchor in
+        # the pre-correction gauge — the graph then cannot heal the drift
+        # between the two anchors (measured: a progressive-drift loop test
+        # barely improved, 19.9cm -> 18.6cm, until this was removed).
         fixed = np.zeros(KCAP, bool)
         fixed[kf2] = True
-        fixed[0] = True
         ei = np.zeros(ECAP, np.int32)
         ej = np.zeros(ECAP, np.int32)
         Rm = np.array(prob.R_meas)

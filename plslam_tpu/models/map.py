@@ -193,6 +193,13 @@ class SlamMap:
         self.pt_valid[pid] = False
 
     def add_point_obs(self, pid: int, kf: int, feat: int):
+        # a landmark observes a keyframe at ONE feature (MapPoint::
+        # AddObservation upsert): re-binding clears the previous slot,
+        # else the old kf_pt_idx entry would orphan when the dict moves on
+        prev = self.pt_obs[pid].get(kf)
+        if prev is not None and prev != feat and \
+                self.kf_pt_idx[kf, prev] == pid:
+            self.kf_pt_idx[kf, prev] = -1
         self.pt_obs[pid][kf] = feat
         self.kf_pt_idx[kf, feat] = pid
 
@@ -234,6 +241,10 @@ class SlamMap:
         self.ln_valid[lid] = False
 
     def add_line_obs(self, lid: int, kf: int, feat: int):
+        prev = self.ln_obs[lid].get(kf)
+        if prev is not None and prev != feat and \
+                self.kf_ln_idx[kf, prev] == lid:
+            self.kf_ln_idx[kf, prev] = -1
         self.ln_obs[lid][kf] = feat
         self.kf_ln_idx[kf, feat] = lid
 

@@ -366,10 +366,15 @@ def fused_track_step(
     p_temp = pc_prev @ Rwc.T + c_prev
     has_d = prev.kp_depth > 0
     t_cand = prev.kp_valid & has_d & ~bound
+    # UpdateLastFrame (Tracking.cc:1044-1210): ALL close points (depth <
+    # ThDepth) become temporal candidates, with the closest-``cap`` as a
+    # floor when close points are scarce. A pure closest-``cap`` rule
+    # starves VO when the nearest surface is texture-poor: the cap crowds
+    # onto it and excludes matchable mid-range features.
     cap = cfg.tracking.temporal_points_cap
     dsel = jnp.where(t_cand, prev.kp_depth, jnp.inf)
     kth = -jax.lax.top_k(-dsel, cap)[0][cap - 1]
-    t_sel = t_cand & (dsel <= kth)
+    t_sel = t_cand & ((dsel <= kth) | (dsel <= cfg.tracking.th_depth))
     q_p3d = jnp.where(bound[:, None], p_map, p_temp)
     q_valid = bound | t_sel
 
@@ -388,7 +393,7 @@ def fused_track_step(
     lcap = cfg.tracking.temporal_lines_cap
     ldsel = jnp.where(lt_cand, prev.ln_depth.max(1), jnp.inf)
     lkth = -jax.lax.top_k(-ldsel, lcap)[0][lcap - 1]
-    lt_sel = lt_cand & (ldsel <= lkth)
+    lt_sel = lt_cand & ((ldsel <= lkth) | (ldsel <= cfg.tracking.th_depth))
     l_ep3d = jnp.where(lbound[:, None, None], l_map, l_temp)
     l_valid = lbound | lt_sel
 
@@ -411,6 +416,15 @@ def fused_track_step(
     lo = _local_core(cfg, fd, lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd,
                      lm_valid, pre_feat, lml_ep3d, lml_desc, lml_valid,
                      lpre_feat, mo.R, mo.t)
+    # trust the local-map refinement only when it has real support: with
+    # the local map starved (localization-only VO through a weakly-mapped
+    # region — the reference SKIPS TrackLocalMap while mbVO,
+    # Tracking.cc:303-335) a handful of stale or aliased map matches would
+    # yank an otherwise-healthy motion/VO pose
+    use_local = lo.n_inliers >= cfg.tracking.min_inliers_local_map
+    R_fin = jnp.where(use_local, lo.R, mo.R)
+    t_fin = jnp.where(use_local, lo.t, mo.t)
+    lo = lo._replace(R=R_fin, t=t_fin)
 
     ok_slot = lo.pt_inlier & (lo.pt_idx >= 0)
     n = fd.kp_valid.shape[0]
@@ -548,6 +562,11 @@ class Tracker:
         self.traj_refs: list[tuple[int, np.ndarray, np.ndarray]] = []
         self.n_lost_frames = 0
         self.only_tracking = False   # localization-only mode (mbOnlyTracking)
+        # degraded visual-odometry mode inside localization-only tracking
+        # (mbVO, Tracking.cc:344-445): map matches starved, pose carried by
+        # temporal points; relocalization is retried until the map is
+        # reacquired
+        self.vo_mode = False
         self.debug: dict = {}
         # device-resident state
         self._prev_fd: FrameData | None = None
@@ -616,6 +635,8 @@ class Tracker:
         self.frame_id += 1
         if self.state == OK and self._pending_gauge is not None:
             self._apply_pending_gauge()
+        if self.state == OK and self.vo_mode and self.frame_id % 2 == 0:
+            self._try_reacquire_map()
         if precomputed_out is None:
             gray, depth = self._quantize_inputs(gray, depth)
             gray = jnp.asarray(gray)
@@ -875,6 +896,7 @@ class Tracker:
         # correction published for the abandoned pre-LOST state
         self._pending_gauge = None
         self.state = OK
+        self.vo_mode = False
         self.n_lost_frames = 0
         self.last_pose = (R, t)
         self.last_pt_ids = cur_pt_ids
@@ -886,11 +908,49 @@ class Tracker:
         self._record_pose(timestamp, R, t)  # after refresh: ref_kf current
         return True
 
+    def _try_reacquire_map(self) -> bool:
+        """Relocalize WHILE tracking on VO (the mbVO retry loop,
+        Tracking.cc:393-445): on success, rebind the local map to the
+        relocalized pose; the VO pose estimate is replaced. Unlike the
+        LOST-state path this appends no trajectory entry — the current
+        frame's retirement records the (now map-consistent) pose."""
+        from .relocalization import try_relocalize
+
+        if self._prev_fd is None:
+            return False
+        out = try_relocalize(self, self._prev_fd)
+        if out is None:
+            return False
+        R, t, cur_pt_ids = out
+        # consistency gate: unlike the LOST path, VO mode still HAS a pose
+        # estimate (drift-scale error) — a reloc result that disagrees
+        # wildly is perceptual aliasing (similar-looking distinct views),
+        # not recovery. The reference trusts its 1M-word vocabulary's
+        # discrimination here; with smaller vocabularies the gate is what
+        # keeps a false positive from teleporting a healthy VO track.
+        R_vo = np.asarray(self._R)
+        t_vo = np.asarray(self._t)
+        dc = np.linalg.norm((-R.T @ t) - (-R_vo.T @ t_vo))
+        dang = np.arccos(np.clip((np.trace(R @ R_vo.T) - 1) / 2, -1, 1))
+        if dc > 0.5 or dang > np.deg2rad(30.0):
+            return False
+        self._R = jnp.asarray(R)
+        self._t = jnp.asarray(t)
+        self._has_vel = jnp.asarray(False)
+        self.last_pose = (R, t)
+        self.last_pt_ids = cur_pt_ids
+        self.last_ln_ids = np.full(self.cfg.lines.max_lines, -1, np.int32)
+        # frames still in flight were dispatched on the VO pose; their
+        # retirements are VO-quality, the next dispatch is map-anchored
+        self._refresh_local_map(cur_pt_ids, self.last_ln_ids)
+        self.vo_mode = False
+        return True
+
     def reset(self):
         """Full system reset (Tracking::Reset, Tracking.cc:2271-2317)."""
         self.map.reset()
         if self.kfdb is not None:
-            self.kfdb.has[:] = False
+            self.kfdb.clear()
         if self.local_mapper is not None:
             self.local_mapper.recent_points.clear()
             self.local_mapper.recent_lines.clear()
@@ -902,6 +962,7 @@ class Tracker:
         self._has_vel = jnp.asarray(False)
         self._lm_args = None
         self._pending_gauge = None
+        self.vo_mode = False
 
     # ------------------------------------------------------ initialization
     def _stereo_initialization(self, fd: FrameData, timestamp: float) -> bool:
@@ -1079,8 +1140,21 @@ class Tracker:
             "local_inliers": int(n_li), "local_points": len(lp_ids),
         }
         n_in = int(n_li)
-        if int(n_mi) < 10 or n_in < cfg.tracking.min_inliers_local_map:
-            return False
+        track_ok = int(n_mi) >= 10 and n_in >= cfg.tracking.min_inliers_local_map
+        if not track_ok:
+            # mbVO (Tracking.cc:344-445, :512-520): in localization-only
+            # mode the fused step's motion stage matches TEMPORAL points
+            # (depth-backprojected from the previous frame) for every
+            # feature the map failed to bind — so a healthy motion-inlier
+            # count means visual odometry is carrying the pose even though
+            # map localization starved. Keep tracking, flag VO mode, and
+            # retry relocalization until the map is reacquired.
+            if self.only_tracking and int(n_mi) >= 20:
+                self.vo_mode = True
+            else:
+                return False
+        elif self.vo_mode and n_in >= 2 * cfg.tracking.min_inliers_local_map:
+            self.vo_mode = False  # map reacquired by matching alone
 
         # host bookkeeping (ids resolved against the DISPATCH-time snapshot:
         # a KF refresh may have rewritten self._lp_ids since)

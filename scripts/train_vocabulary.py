@@ -1,49 +1,72 @@
 """Train the built-in ORB vocabulary from synthetic scene renders.
 
-The reference requires an externally supplied ORBvoc.txt (not shipped in
-its snapshot); this engine ships a self-trained vocabulary so retrieval
-works out of the box, and can load DBoW2 text vocabularies when available.
+The reference requires an externally supplied 1M-word ORBvoc.txt (not
+shipped in its snapshot; System.cc:64-65); this engine ships self-trained
+vocabularies so retrieval works out of the box, and loads DBoW2 text
+vocabularies when available.
 
-Run: JAX_PLATFORMS=cpu python scripts/train_vocabulary.py
-Writes: plslam_tpu/bow/vocab_synth.npz
+Run:
+  python scripts/train_vocabulary.py                    # 10^4 words (k=10, L=4)
+  python scripts/train_vocabulary.py --levels 5 \\
+      --scenes 40 --frames 16 --out vocab_100k.npz      # 10^5 words
+
+Descriptor extraction runs on whatever backend JAX provides (TPU when
+reachable — extraction is the slow part); the hierarchical k-majority
+training is host numpy.
 """
 
+import argparse
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-jax.config.update("jax_platforms", "cpu")
-
-import jax.numpy as jnp
 import numpy as np
-
-from plslam_tpu.bow import vocabulary
-from plslam_tpu.config import OrbConfig
-from plslam_tpu.geometry.projection import Camera
-from plslam_tpu.ops import orb
-from plslam_tpu.utils.synthetic import RoomScene, smooth_trajectory
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--levels", type=int, default=4)
+    ap.add_argument("--scenes", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--out", default="vocab_synth.npz")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (default: use the fastest backend)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from plslam_tpu.bow import vocabulary
+    from plslam_tpu.config import OrbConfig
+    from plslam_tpu.geometry.projection import Camera
+    from plslam_tpu.ops import orb
+    from plslam_tpu.utils.synthetic import RoomScene, smooth_trajectory
+
     cam = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5)
     cfg = OrbConfig()
     descs = []
-    for seed in range(10):
+    for seed in range(args.scenes):
         scene = RoomScene(seed)
-        for R, t in smooth_trajectory(8, amplitude=0.8):
+        amp = 0.5 + 0.5 * (seed % 4) / 3
+        for R, t in smooth_trajectory(args.frames, amplitude=amp):
             g, _ = scene.render(cam, R, t)
             f = orb.extract_orb(jnp.asarray(g), cfg, (480, 640))
             v = np.asarray(f.valid)
             descs.append(np.asarray(f.desc)[v])
+        if (seed + 1) % 10 == 0:
+            print(f"scene {seed + 1}/{args.scenes}", flush=True)
     corpus = np.concatenate(descs)
-    print(f"corpus: {corpus.shape[0]} descriptors")
-    voc = vocabulary.train_vocabulary(corpus, k=10, levels=4)
+    print(f"corpus: {corpus.shape[0]} descriptors", flush=True)
+    voc = vocabulary.train_vocabulary(corpus, k=args.k, levels=args.levels)
     out = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "..", "plslam_tpu", "bow",
-        "vocab_synth.npz",
+        args.out,
     )
     voc.save(out)
     print(f"wrote {out} ({voc.n_words} words)")

@@ -19,3 +19,17 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_program_accumulation():
+    """Clear jit caches between test modules: a single pytest process that
+    compiles the whole suite's ~100+ XLA:CPU programs eventually SEGFAULTS
+    inside backend_compile_and_load on this jaxlib (reproducibly at the
+    stereo build_frame program; the same program compiles fine in a fresh
+    process). Equal-valued configs share cache entries within a module, so
+    the cost is one recompile of the shared programs per module."""
+    yield
+    jax.clear_caches()

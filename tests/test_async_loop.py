@@ -7,6 +7,10 @@ AsyncLoopCloser) and corrections reach the pipelined tracker through the
 gauge-delta protocol (Tracker.apply_gauge_correction).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow  # system-level e2e tier
+
 import time
 
 import numpy as np
@@ -27,29 +31,41 @@ CAM = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
 
 
 def test_loop_closes_async_without_stalling_frame_loop():
-    """Track the full orbit with BOTH workers async. The loop pipeline
-    (detect -> Sim3 -> correct -> essential graph -> GBA) must fire on the
-    worker, frame retirement must never stall for the GBA duration, and
-    the healed trajectory must come out consistent."""
+    """Track the orbit with BOTH workers async and a drift injection that
+    forces a loop closure. The loop pipeline (detect -> Sim3 -> correct ->
+    essential graph -> GBA) must fire ON THE WORKER, frame retirement must
+    continue during the pass, and the correction must land (final pose
+    consistent with KF0 in the gauge-invariant sense)."""
+    from tests.test_loop_closing import _rel_err_vs_gt, inject_drift
+
     cfg = SlamConfig(camera=CAM)
     slam = System(cfg, enable_loop_closing=True, async_mapping=True)
     scene = RoomScene(3)
     n = 150
     poses = orbit_poses(n)
-    times = np.zeros(n)
+    m = slam.map
+    tr = slam.tracker
     lc = slam.loop_closer
+    drift_at = 90
+    W_R = np.asarray(
+        se3.so3_exp(jnp.asarray([0.0, 0.10, 0.0], jnp.float32))
+    ).astype(np.float32)
+    W_t = np.array([0.15, 0.0, -0.12], np.float32)
     frames_during_loop = 0
     retired_during_loop = 0
     for i, (R, t) in enumerate(poses):
         g, d = scene.render(CAM, R, t)
         busy = not lc._idle.is_set()
-        t0 = time.perf_counter()
         out = slam.track_rgbd(g, d, i / 30.0)
-        times[i] = time.perf_counter() - t0
         if busy:
             frames_during_loop += 1
             if out is not None:
                 retired_during_loop += 1
+        if i == drift_at:
+            slam.local_mapper.wait_idle(timeout=60.0)
+            with tr._map_lock:
+                inject_drift(m, tr, max(m.n_kf // 2, 1), W_R, W_t)
+            tr._refresh_local_map(tr.last_pt_ids, tr.last_ln_ids)
     slam._quiesce()
     assert lc.n_loops_closed >= 1, "async loop closure never fired"
     # the sync design processed the ENTIRE loop pass (detect -> Sim3 ->
@@ -58,15 +74,10 @@ def test_loop_closes_async_without_stalling_frame_loop():
     # worker runs. (Latency bounds are a TPU property — on the CPU test
     # device a single stepped-BA chunk monopolizes the cores — so the
     # CPU-testable claim is continued retirement, not p99.)
-    assert frames_during_loop >= 3, "no frames processed during loop pass"
-    assert retired_during_loop >= 1, "no frame retired during loop pass"
-
-    gt_ts = np.array([i / 30.0 for i in range(n)])
-    gt_pos = np.array([-(R.T @ t) for R, t in poses])
-    heal_ts, heal_pos = trajectory_positions(slam.tracker.healed_trajectory())
-    rmse, n_pairs, _ = ate_rmse(gt_ts, gt_pos, heal_ts, heal_pos)
-    assert n_pairs > 0.9 * n
-    assert rmse < 0.15, f"healed ATE {rmse*100:.1f}cm after async loop"
+    assert frames_during_loop >= 3, "no frames processed during worker pass"
+    assert retired_during_loop >= 1, "no frame retired during worker pass"
+    err = _rel_err_vs_gt(m, tr, poses)
+    assert err < 0.30, f"KF0-relative err {err*100:.1f}cm after async loop"
     slam.shutdown()
 
 

@@ -83,3 +83,36 @@ class TestDatabase:
         cands = db.detect_reloc_candidates(q, fm)
         assert len(cands) >= 1
         assert any(abs(c - 3) <= 1 for c in cands), f"candidates {cands}"
+
+
+def test_100k_vocabulary_and_sparse_kfdb():
+    """The shipped 100k-word vocabulary loads and drives the sparse
+    inverted-file KFDB (round-2 gap: the dense (K, W) matrix was O(K*W)
+    and unusable past ~10^4 words)."""
+    import os
+
+    from plslam_tpu.bow.database import KeyFrameDatabase
+    from plslam_tpu.bow.vocabulary import Vocabulary
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plslam_tpu", "bow", "vocab_100k.npz")
+    voc = Vocabulary.load(path)
+    assert voc.n_words == 100000
+    rng = np.random.default_rng(0)
+    db = KeyFrameDatabase(voc, max_kf=16)
+    bows = []
+    for k in range(4):
+        desc = jnp.asarray(rng.integers(0, 256, (256, 32)), jnp.uint8)
+        _, bow = voc.transform(desc, jnp.ones(256, bool))
+        bow = np.asarray(bow)
+        db.add(k, bow)
+        bows.append(bow)
+    # self-score is the best score (L1 of identical normalized vectors = 2)
+    s = db.score_all(bows[1])
+    assert np.argmax(s) == 1
+    assert abs(s[1] - 2.0) < 1e-3
+    # erase drops the keyframe from every posting list
+    db.erase(1)
+    s = db.score_all(bows[1])
+    assert s[1] == 0.0

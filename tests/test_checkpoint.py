@@ -1,6 +1,10 @@
 """Map checkpoint / resume (utils.checkpoint): save after mapping, reload,
 relocalize in localization-only mode."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # system-level e2e tier
+
 import numpy as np
 
 from plslam_tpu.config import SlamConfig

@@ -2,6 +2,10 @@
 step drives B independent SLAM sessions with identical per-sequence
 semantics."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # system-level e2e tier
+
 import numpy as np
 
 from plslam_tpu.config import SlamConfig

@@ -1,6 +1,10 @@
 """Stereo pipeline: ComputeStereoMatches depth + TrackStereo e2e
 (Frame.cc:888-1062, Tracking.cc:170-208)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow  # system-level e2e tier
+
 import jax
 import numpy as np
 

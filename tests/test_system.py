@@ -1,3 +1,7 @@
+import pytest
+
+pytestmark = pytest.mark.slow  # system-level e2e tier
+
 import os
 
 import numpy as np

@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # system-level e2e tier
+
 from plslam_tpu.config import SlamConfig
 from plslam_tpu.geometry.projection import Camera
 from plslam_tpu.models.local_mapping import LocalMapper
