@@ -68,28 +68,26 @@ def main():
     # can't reach them all.  Running the identical sequence once end-to-end
     # compiles (or loads from the persistent cache) every program the timed
     # pass will hit; the timed passes then measure steady-state throughput.
-    # Best-of-3 (timeit discipline): the tunneled TPU transport stalls for
-    # seconds at random (~1/300 dispatches), which measures the tunnel, not
-    # the engine.
     run(timed=False)
-    # GC pauses of a few hundred ms land in the middle of timed passes
-    # (the map's python-side obs dicts churn); collect between passes,
-    # don't collect during them — standard latency-benchmark discipline.
-    # Best-of-5 (timeit discipline): the tunneled transport stalls for
-    # seconds at random (~1/300 dispatches, occasionally minutes-long
-    # degradations) — a single clean pass measures the engine, the stalled
-    # ones measure the tunnel. A pass is ~1.5 s, so extra passes are cheap
-    # insurance against a degraded capture window.
-    import gc
+    # GC discipline: the ENGINE's latency policy (utils.gctune — gen-2
+    # collection never automatic, explicit sweeps at safe points). The
+    # bench runs exactly what a production System run gets; the old
+    # bench-only gc.disable() workaround is gone (round-3 Weak #6).
+    from plslam_tpu.utils import gctune
 
+    gctune.tune_gc()
+    # Best-of-N (timeit discipline): the tunneled transport stalls for
+    # seconds at random (~1/300 dispatches, occasionally minutes-long
+    # degradations) — a clean pass measures the engine, a stalled one
+    # measures the tunnel. A pass is ~1.5 s, so extra passes are cheap
+    # insurance against a degraded capture window; per-pass values go to
+    # stderr so a driver-vs-builder gap is diagnosable from the log.
     fps = 0.0
-    for _ in range(int(os.environ.get("BENCH_PASSES", "5"))):
-        gc.collect()
-        gc.disable()
-        try:
-            fps = max(fps, run(timed=True))
-        finally:
-            gc.enable()
+    for i in range(int(os.environ.get("BENCH_PASSES", "7"))):
+        gctune.collect_old()
+        f = run(timed=True)
+        print(f"[bench] pass {i}: {f:.1f} fps", file=sys.stderr, flush=True)
+        fps = max(fps, f)
 
     print(
         json.dumps(

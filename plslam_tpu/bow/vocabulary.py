@@ -154,6 +154,33 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 3,
     return Vocabulary(node_desc, idf)
 
 
+def save_dbow2_text(voc: Vocabulary, path: str):
+    """Write a vocabulary in the DBoW2 ORBvoc.txt format
+    (TemplatedVocabulary::saveToTextFile, /root/reference/Thirdparty/DBoW2/
+    DBoW2/TemplatedVocabulary.h:1270-1296): header ``k L scoring weighting``
+    then one node per line (root omitted, BFS creation order) as
+    ``parent_id is_leaf d0..d31 weight``. Node ids are implicit: the root is
+    0 and each line allocates the next id — exactly what
+    ``loadFromTextFile`` (:1206-1266) and :func:`load_dbow2_text` expect."""
+    k, levels = voc.k, voc.levels
+    idf = np.asarray(voc.idf)
+    with open(path, "w") as f:
+        f.write(f"{k} {levels} 0 0\n")
+        # BFS: level l slot s has implicit node id 1 + sum_{j<l} k^(j+1)
+        # + s; its parent is the root (l=0) or slot s//k at level l-1
+        level_base = [1]
+        for l in range(1, levels):
+            level_base.append(level_base[-1] + k**l)
+        for l in range(levels):
+            desc = np.asarray(voc.node_desc[l])
+            leaf = 1 if l == levels - 1 else 0
+            for s in range(desc.shape[0]):
+                parent = 0 if l == 0 else level_base[l - 1] + s // k
+                d = " ".join(str(int(b)) for b in desc[s])
+                w = float(idf[s]) if leaf else 0.0
+                f.write(f"{parent} {leaf} {d} {w}\n")
+
+
 def load_dbow2_text(path: str, k: int = 10, levels: int = 6) -> Vocabulary:
     """Load a DBoW2 text vocabulary (ORBvoc.txt format: header 'k L s w'
     then one node per line: parent_is_leaf? ... descriptor bytes ... weight).

@@ -783,6 +783,7 @@ class LocalMapper:
                 nR, nt, nxyz, inl = pba.distributed_bundle_adjust(
                     self.cfg.camera, prob, pmesh.make_ba_mesh(),
                     iters=mc.distributed_ba_iters, cg_iters=mc.ba_cg_iters,
+                    should_abort=self.should_abort,
                 )
                 nep = np.array(prob.ln_ep)  # writable copy: transported below
                 linl = np.asarray(prob.lobs_valid)

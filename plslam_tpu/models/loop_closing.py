@@ -34,6 +34,11 @@ from .map import SlamMap
 
 SIM3_MATCH_MIN = 20
 LOOP_PROJ_ACCEPT = 40
+# minimum shared-point weight for a fused cross-sector pair to become an
+# essential-graph loop connection (Optimizer.cc:1131 minFeat=100; lower
+# here — our feature budget is 1000 vs the reference's per-image ~1000 but
+# synthetic scenes bind fewer)
+LOOP_CONN_MIN_WEIGHT = 30
 
 
 class LoopCloser:
@@ -240,15 +245,32 @@ class LoopCloser:
             self._propagate_group(group, R1_old, t1_old,
                                   R1_corr, t1_corr, s1_corr)
 
-        # fuse duplicate landmarks between the loop sides (stage-locked
-        # internally; device work runs with the lock released)
-        if self.local_mapper is not None:
-            self.local_mapper.fuse(kf1)
-            self.local_mapper.fuse(kf2)
+        # SearchAndFuse (LoopClosing.cc:893-931): project the LOOP side's
+        # landmarks into the corrected current group and merge — this is
+        # what stitches the two sectors' observation graphs back together;
+        # without the cross-sector observations it creates, the global BA
+        # has no loop information at all and relaxes the correction away.
+        # Snapshot pre-fusion covisibility to harvest LoopConnections
+        # (LoopClosing.cc:768-791).
+        with self.lock:
+            gset = set(group)
+            pre_covis = {g: set(self.map.covisibility_counts(g))
+                         for g in group if self.map.kf_valid[g]}
+        self._search_and_fuse(group, kf2)
+        loop_conns: list[tuple[int, int]] = []
+        with self.lock:
+            for g, before in pre_covis.items():
+                counts = m.covisibility_counts(g)
+                for o, c in counts.items():
+                    if (o not in gset and o not in before
+                            and c >= LOOP_CONN_MIN_WEIGHT
+                            and m.kf_valid[o]):
+                        loop_conns.append((o, g))
 
         # essential-graph optimization (Optimizer.cc:1064-1399 semantics)
         self._optimize_essential_graph(kf1, kf2, set(group),
-                                       R_before, t_before)
+                                       R_before, t_before,
+                                       loop_conns=loop_conns)
 
         # global BA (the reference spawns a GBA thread; here the stepped,
         # abortable BA runs on whichever thread called us — the async
@@ -304,8 +326,83 @@ class LoopCloser:
             # fold scale into SE3: [R | t/s] (CorrectedSim3 write-back)
             m.set_kf_pose(k, R_new, t_new / s_new)
 
+    def _search_and_fuse(self, group, kf2: int):
+        """SearchAndFuse (LoopClosing.cc:893-931): project the loop-side
+        neighborhood's map points into every corrected current-group
+        keyframe and bind/merge. Replacement PREFERS the loop-side landmark
+        (the reference calls ``pRep->Replace(mvpLoopMapPoints[i])``
+        unconditionally), transplanting the anchor region onto the loop
+        sector's geometry."""
+        from .local_mapping import fuse_multi_step
+
+        m = self.map
+        with self.lock:
+            neigh = [kf2] + m.covisible_keyframes(kf2, 10)
+            pids = np.unique(m.kf_pt_idx[neigh])
+            pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]]
+            if len(pids) == 0:
+                return
+            targets = [g for g in group if m.kf_valid[g]][:10]
+            if not targets:
+                return
+            C = 4096
+            k = min(len(pids), C)
+            p3d = np.zeros((C, 3), np.float32)
+            mind = np.zeros(C, np.float32)
+            maxd = np.ones(C, np.float32)
+            valid = np.zeros(C, bool)
+            pid_pad = np.zeros(C, np.int32)
+            p3d[:k] = m.pt_pos[pids[:k]]
+            mind[:k] = m.pt_min_dist[pids[:k]]
+            maxd[:k] = m.pt_max_dist[pids[:k]]
+            valid[:k] = True
+            pid_pad[:k] = pids[:k]
+            K_FIX = 10
+            pad_t = targets + [targets[-1]] * (K_FIX - len(targets))
+            dev = [m.device_frame(o) for o in pad_t]
+            Rs = np.stack([m.kf_R[o] for o in pad_t])
+            ts = np.stack([m.kf_t[o] for o in pad_t])
+        kxy = jnp.stack([f.kp_xy_un for f in dev])
+        koct = jnp.stack([f.kp_octave for f in dev])
+        kdesc = jnp.stack([f.kp_desc for f in dev])
+        kval = jnp.stack(
+            [f.kp_valid if i < len(targets) else jnp.zeros_like(f.kp_valid)
+             for i, f in enumerate(dev)])
+        desc = m.point_desc_arena()[jnp.asarray(pid_pad)]
+        idx2, ok2 = fuse_multi_step(
+            self.cfg, kxy, koct, kdesc, kval,
+            jnp.asarray(p3d), desc, jnp.asarray(mind),
+            jnp.asarray(maxd), jnp.asarray(valid),
+            jnp.asarray(Rs), jnp.asarray(ts),
+            radius_px=5.0,
+        )
+        idx2, ok2 = jax.device_get((idx2, ok2))
+        ok2 = ok2.copy()
+        ok2[:, k:] = False
+        lm = self.local_mapper
+        base = getattr(lm, "inner", lm)
+        touched: list[int] = []
+        with self.lock:
+            for ki, okf in enumerate(targets):
+                for i in np.nonzero(ok2[ki])[0]:
+                    pid = int(pids[i])
+                    if not m.pt_valid[pid]:
+                        continue
+                    feat = int(idx2[ki, i])
+                    bound = int(m.kf_pt_idx[okf, feat])
+                    if bound < 0:
+                        if okf not in m.pt_obs[pid]:
+                            m.add_point_obs(pid, okf, feat)
+                            touched.append(pid)
+                    elif bound != pid and m.pt_valid[bound]:
+                        base.replace_point(bound, pid)  # loop side wins
+                        touched.append(pid)
+        if touched and base is not None:
+            base._refresh_descriptors(touched)
+
     def _optimize_essential_graph(self, kf1: int, kf2: int, group: set[int],
-                                  R_before=None, t_before=None):
+                                  R_before=None, t_before=None,
+                                  loop_conns=None):
         """Essential-graph pose optimization. ``R_before/t_before``: poses
         snapshotted BEFORE the loop propagation — tree/covisibility edge
         measurements come from them (the reference's NonCorrectedSim3,
@@ -316,7 +413,8 @@ class LoopCloser:
         with self.lock:
             K = m.n_kf
             built = self._build_essential_problem(
-                pose_graph, kf1, kf2, K, R_before, t_before)
+                pose_graph, kf1, kf2, K, R_before, t_before,
+                loop_conns or [])
         prob = built
         if self.cfg.loop.fix_scale:
             Rn, tn = pose_graph.optimize_pose_graph(
@@ -352,8 +450,9 @@ class LoopCloser:
             self._correct_appended_kfs(K, old_R, old_t)
 
     def _build_essential_problem(self, pose_graph, kf1, kf2, K,
-                                 R_before, t_before):
+                                 R_before, t_before, loop_conns=()):
         m = self.map
+        conn_set = {frozenset(p) for p in loop_conns}
         if R_before is None:
             R_meas_src, t_meas_src = m.kf_R, m.kf_t
         else:
@@ -361,7 +460,7 @@ class LoopCloser:
             R_meas_src = np.concatenate([R_before, m.kf_R[len(R_before):K]])
             t_meas_src = np.concatenate([t_before, m.kf_t[len(t_before):K]])
         KCAP = 1 << (K - 1).bit_length()
-        edges = []
+        edges = []  # (i, j, weight, measure_from_current_poses)
         # spanning-tree edges (OptimizeEssentialGraph, Optimizer.cc:1180);
         # falls back to the previous surviving KF for never-attached rows
         # (maps built without a LocalMapper pass)
@@ -373,18 +472,27 @@ class LoopCloser:
             if p < 0 or not m.kf_valid[p]:
                 p = prev_valid
             if p >= 0:
-                edges.append((p, k, 1.0))
+                edges.append((p, k, 1.0, False))
             prev_valid = k
-        # strong covisibility edges
+        # strong covisibility edges — EXCLUDING pairs whose covisibility was
+        # created by the loop fusion (those get LoopConnections edges below:
+        # their pre-correction relative would encode the very drift the loop
+        # is healing)
         for k in range(K):
             if not m.kf_valid[k]:
                 continue
             counts = m.covisibility_counts(k)
             for o, c in counts.items():
-                if c >= 100 and o > k + 1:
-                    edges.append((k, o, 1.0))
+                if c >= 100 and o > k + 1 and \
+                        frozenset((k, o)) not in conn_set:
+                    edges.append((k, o, 1.0, False))
+        # LoopConnections (Optimizer.cc:1123-1179): fusion-discovered
+        # cross-sector pairs, measured from the CORRECTED (current) poses
+        for (a, b) in loop_conns:
+            if m.kf_valid[a] and m.kf_valid[b] and a < K and b < K:
+                edges.append((a, b, 2.0, True))
         # the loop edge
-        edges.append((kf2, kf1, 5.0))
+        edges.append((kf2, kf1, 5.0, True))
         E = len(edges)
         ECAP = 1 << (E - 1).bit_length()
         prob = pose_graph.make_problem(KCAP, ECAP)
@@ -407,16 +515,14 @@ class LoopCloser:
         tm = np.array(prob.t_meas)
         w = np.zeros(ECAP, np.float32)
         ev = np.zeros(ECAP, bool)
-        n_loop_edge = len(edges) - 1  # the loop edge appended last
-        for n, (i, j, wt) in enumerate(edges):
+        for n, (i, j, wt, use_cur) in enumerate(edges):
             ei[n] = i
             ej[n] = j
-            # tree/covis edges: PRE-correction odometry measurement; the
-            # loop edge: the corrected relative pose (current poses — the
-            # propagation put kf1's group into kf2's frame)
-            src_R = (m.kf_R, m.kf_t) if n == n_loop_edge else \
+            # tree/covis edges: PRE-correction odometry measurement; loop +
+            # LoopConnections edges: the corrected relative pose (current
+            # poses — the propagation put kf1's group into kf2's frame)
+            Rs, ts_ = (m.kf_R, m.kf_t) if use_cur else \
                 (R_meas_src, t_meas_src)
-            Rs, ts_ = src_R
             Rji = Rs[j].T
             tji = -Rji @ ts_[j]
             Rm[n] = Rs[i] @ Rji

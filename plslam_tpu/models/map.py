@@ -388,15 +388,26 @@ class SlamMap:
 
     # ---------------------------------------------------------- covisibility
     def covisibility_counts(self, kf: int) -> dict[int, int]:
-        """Shared-map-point counts with every other KF (UpdateConnections)."""
-        counts: dict[int, int] = {}
-        for pid in self.kf_pt_idx[kf]:
-            if pid < 0:
-                continue
-            for okf in self.pt_obs[pid]:
-                if okf != kf:
-                    counts[okf] = counts.get(okf, 0) + 1
-        return counts
+        """Shared-map-point counts with every other KF (UpdateConnections).
+
+        Vectorized as a membership join over the ``kf_pt_idx`` match
+        matrix (the inverse observation map): one (n_kf, N) mask + row sum
+        replaces the reference's per-point observation-dict walk
+        (KeyFrame.cc:363-452) — and the python dict walk this method used
+        to do, which at ~80 calls per keyframe event was the tracker's
+        host-side hot spot."""
+        row = self.kf_pt_idx[kf]
+        pids = row[row >= 0]
+        if len(pids) == 0:
+            return {}
+        lut = np.zeros(self.pt_pos.shape[0], bool)
+        lut[pids] = True
+        sub = self.kf_pt_idx[: self.n_kf]
+        mask = (sub >= 0) & lut[np.clip(sub, 0, None)]
+        counts = mask.sum(1)
+        counts[kf] = 0
+        nz = np.nonzero(counts)[0]
+        return {int(o): int(counts[o]) for o in nz}
 
     def covisible_keyframes(self, kf: int, k: int | None = None,
                             min_weight: int = 1) -> list[int]:

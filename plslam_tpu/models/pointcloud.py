@@ -24,14 +24,15 @@ from ..config import SlamConfig
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def unproject_keyframe(cfg: SlamConfig, gray: jax.Array, depth: jax.Array,
                        R: jax.Array, t: jax.Array):
-    """Back-project a subsampled depth image to world points.
+    """Back-project an ALREADY-STRIDED depth image to world points (the
+    mapper keeps only every ``pixel_stride``-th pixel per keyframe —
+    PointCloudMapping.cc:63-119 keeps every 3rd).
 
-    Returns (xyz (M, 3), intensity (M,), valid (M,)) with M fixed by the
-    stride."""
+    Returns (xyz (M, 3), intensity (M,), valid (M,))."""
     cam = cfg.camera
     s = cfg.cloud.pixel_stride
-    d = depth[::s, ::s]
-    g = gray[::s, ::s]
+    d = depth
+    g = gray
     h, w = d.shape
     vs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0) * s
     us = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1) * s
@@ -55,8 +56,13 @@ class PointCloudMapper:
 
     def insert_keyframe(self, kf: int, gray: np.ndarray, depth: np.ndarray,
                         R: np.ndarray, t: np.ndarray):
-        self.kf_inputs[kf] = (gray.astype(np.float32), depth.astype(np.float32))
-        self._accumulate(gray, depth, R, t)
+        # keep only the strided samples (the rebuild working set: ~75 KB/KF
+        # at stride 3 instead of 2.4 MB full-res)
+        s = self.cfg.cloud.pixel_stride
+        g = np.ascontiguousarray(gray[::s, ::s], np.float32)
+        d = np.ascontiguousarray(depth[::s, ::s], np.float32)
+        self.kf_inputs[kf] = (g, d)
+        self._accumulate(g, d, R, t)
 
     def _accumulate(self, gray, depth, R, t):
         pw, inten, ok = unproject_keyframe(

@@ -40,8 +40,17 @@ class System:
                  localization_only: bool = False,
                  async_mapping: bool = False,
                  sensor: str = "rgbd",
-                 trace_path: str | None = None):
+                 trace_path: str | None = None,
+                 tune_gc: bool = True):
         from ..utils.tracing import Tracer
+
+        if tune_gc:
+            # keep CPython's gen-2 collector out of the frame loop (the
+            # 0.3-1.6 s pause source, PERF.md §3.1); explicit sweeps run at
+            # compaction/shutdown instead (utils.gctune)
+            from ..utils import gctune
+
+            gctune.tune_gc()
 
         self.cfg = cfg
         self.sensor = sensor  # System eSensor (System.h:58-66)
@@ -80,6 +89,7 @@ class System:
         self.cloud = PointCloudMapper(cfg) if enable_dense_cloud else None
         self.localization_only = localization_only
         self._last_n_kf = 0
+        self._last_cloud_change = 0
 
     # ------------------------------------------------------------------ API
     def track_rgbd(self, gray: np.ndarray, depth: np.ndarray,
@@ -87,11 +97,20 @@ class System:
         """Track one RGB-D frame; returns (R, t) world-to-camera or None.
         ``depth`` in metres (apply DepthMapFactor upstream, Tracking.cc:228)."""
         out = self.tracker.process(gray, depth, timestamp)
-        if self.cloud is not None and self.map.n_kf != self._last_n_kf:
-            kf = self.map.n_kf - 1
-            self.cloud.insert_keyframe(kf, gray, depth, self.map.kf_R[kf],
-                                       self.map.kf_t[kf])
-            self._last_n_kf = self.map.n_kf
+        if self.cloud is not None:
+            if self.map.n_kf != self._last_n_kf:
+                kf = self.map.n_kf - 1
+                self.cloud.insert_keyframe(kf, gray, depth,
+                                           self.map.kf_R[kf],
+                                           self.map.kf_t[kf])
+                self._last_n_kf = self.map.n_kf
+            # loop-correction / GBA gauge moves invalidate the accumulated
+            # cloud: rebuild it from the corrected keyframe poses — the
+            # reference's is_loop_ rebuild (PointCloudMapping.cc:168-176,
+            # set from LoopClosing.cc:1100-1110)
+            if self.map.big_change_idx != self._last_cloud_change:
+                self.cloud.rebuild(self.map)
+                self._last_cloud_change = self.map.big_change_idx
         return out
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
@@ -139,6 +158,10 @@ class System:
             lm.wait_idle(timeout=30.0)
             lm.shutdown()
         self.tracer.close()
+        from ..utils import gctune
+
+        if gctune.is_tuned():
+            gctune.collect_old()  # safe point: nothing in flight
 
     def compact_map(self):
         """Reclaim erased landmark arena slots (unbounded-run support).
@@ -171,6 +194,10 @@ class System:
                 if ln_map[l] >= 0]
             if tr.state == 1 and tr.last_pt_ids is not None:
                 tr._refresh_local_map(tr.last_pt_ids, tr.last_ln_ids)
+        from ..utils import gctune
+
+        if gctune.is_tuned():
+            gctune.collect_old()  # safe point: pipeline drained above
 
     def save_map(self, path: str):
         """Persist the world model (no reference analogue — ORB-SLAM2
@@ -244,6 +271,10 @@ class System:
 
     def save_pcd(self, path: str):
         if self.cloud is not None:
+            self._quiesce()
+            if self.map.big_change_idx != self._last_cloud_change:
+                self.cloud.rebuild(self.map)
+                self._last_cloud_change = self.map.big_change_idx
             self.cloud.save_pcd(path)
 
 

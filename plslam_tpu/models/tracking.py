@@ -1201,6 +1201,18 @@ class Tracker:
                 self._create_new_keyframe(out.fd, R, t, cur_pt_ids,
                                           cur_ln_ids, timestamp,
                                           frame_id=frame_id, host=fd_host)
+                # the spawning frame references its OWN keyframe (the
+                # reference sets mpReferenceKF = pKFnew inside
+                # CreateNewKeyFrame before the trajectory bookkeeping,
+                # Tracking.cc:1664, :578-597) — healed poses at keyframe
+                # timestamps then equal the corrected keyframe poses exactly
+                # relative-to-own-KF is identity BY CONSTRUCTION (the KF was
+                # minted from this very frame pose) — don't recompute from
+                # kf_R (a BA step inside process_keyframe may already have
+                # nudged it, which would bake the nudge's inverse in)
+                self.traj_refs[-1] = (int(self.last_kf),
+                                      np.eye(3, dtype=np.float32),
+                                      np.zeros(3, np.float32))
         return True
 
     # --------------------------------------------------- local map handling
@@ -1253,22 +1265,19 @@ class Tracker:
             jnp.asarray(a)
             for a in (p3d, desc, normal, mind, maxd, valid, lep, ldesc, lvalid)
         )
-        slot_of_pid = {int(p): i for i, p in enumerate(lp_ids)}
-        slot_of_lid = {int(l): i for i, l in enumerate(ll_ids)}
+        # id -> slot lookup tables (vectorized: the python dict builds +
+        # per-feature loops here were the KF-event host hot spot — ~2300
+        # scalar iterations per refresh)
+        slot_lut_pt = np.full(m.pt_pos.shape[0], -1, np.int32)
+        slot_lut_pt[lp_ids] = np.arange(len(lp_ids), dtype=np.int32)
+        slot_lut_ln = np.full(m.ln_ep.shape[0], -1, np.int32)
+        slot_lut_ln[ll_ids] = np.arange(len(ll_ids), dtype=np.int32)
         if rebind:
             # bindings: per current-frame feature -> slot
-            fs = np.full(self.cfg.orb.max_keypoints, -1, np.int32)
-            for feat, pid in enumerate(cur_pt_ids):
-                if pid >= 0:
-                    s = slot_of_pid.get(int(pid))
-                    if s is not None:
-                        fs[feat] = s
-            fsl = np.full(self.cfg.lines.max_lines, -1, np.int32)
-            for feat, lid in enumerate(cur_ln_ids):
-                if lid >= 0:
-                    s = slot_of_lid.get(int(lid))
-                    if s is not None:
-                        fsl[feat] = s
+            fs = np.where(cur_pt_ids >= 0,
+                          slot_lut_pt[np.clip(cur_pt_ids, 0, None)], -1)
+            fsl = np.where(cur_ln_ids >= 0,
+                           slot_lut_ln[np.clip(cur_ln_ids, 0, None)], -1)
             self._prev_slot_pt = jnp.asarray(fs)
             self._prev_slot_ln = jnp.asarray(fsl)
             self._pt_remap = self._id_pt
@@ -1278,15 +1287,11 @@ class Tracker:
         else:
             # old-slot -> new-slot remaps for the in-flight frames
             rm = np.full(self.LM_CAP, -1, np.int32)
-            for i, pid in enumerate(old_lp):
-                s = slot_of_pid.get(int(pid))
-                if s is not None:
-                    rm[i] = s
+            if len(old_lp):
+                rm[: len(old_lp)] = slot_lut_pt[old_lp]
             rml = np.full(self.LL_CAP, -1, np.int32)
-            for i, lid in enumerate(old_ll):
-                s = slot_of_lid.get(int(lid))
-                if s is not None:
-                    rml[i] = s
+            if len(old_ll):
+                rml[: len(old_ll)] = slot_lut_ln[old_ll]
             # compose with a not-yet-consumed remap (two refreshes can land
             # between dispatches, e.g. while flushing a depth-2 pipeline)
             if self._pt_remap_np is not None:
@@ -1301,13 +1306,20 @@ class Tracker:
             self._ln_remap = jnp.asarray(rml)
 
     def _local_keyframes(self, cur_pt_ids: np.ndarray) -> list[int]:
-        """KFs observing current points + covisible neighbors (cap 80)."""
+        """KFs observing current points + covisible neighbors (cap 80).
+        The observer count is a vectorized membership join over the
+        kf_pt_idx match matrix (see SlamMap.covisibility_counts)."""
+        m = self.map
+        cur = cur_pt_ids[cur_pt_ids >= 0]
         counts: dict[int, int] = {}
-        for pid in cur_pt_ids:
-            if pid < 0:
-                continue
-            for kf in self.map.pt_obs[pid]:
-                counts[kf] = counts.get(kf, 0) + 1
+        if len(cur) and m.n_kf:
+            lut = np.zeros(m.pt_pos.shape[0], bool)
+            lut[cur] = True
+            sub = m.kf_pt_idx[: m.n_kf]
+            mask = (sub >= 0) & lut[np.clip(sub, 0, None)]
+            carr = mask.sum(1)
+            nz = np.nonzero(carr)[0]
+            counts = {int(o): int(carr[o]) for o in nz}
         if not counts:
             return [self.ref_kf] if self.ref_kf >= 0 else []
         k1 = sorted(counts, key=counts.get, reverse=True)

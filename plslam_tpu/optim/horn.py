@@ -76,17 +76,31 @@ def ransac_align(
     s_b, R_b, t_b = ss[best], Rs[best], ts[best]
     resid = jnp.linalg.norm(dst - (s_b * (src @ R_b.T) + t_b), axis=1)
     inl = (resid < thresh) & valid
-    # refit on inliers
-    s_f, R_f, t_f = kabsch(src, dst, w=inl.astype(jnp.float32),
-                           with_scale=with_scale)
-    resid2 = jnp.linalg.norm(dst - (s_f * (src @ R_f.T) + t_f), axis=1)
-    inl2 = (resid2 < thresh) & valid
-    ok = jnp.sum(inl2.astype(jnp.int32)) >= jnp.sum(inl.astype(jnp.int32))
-    pick = lambda a, b: jnp.where(ok, a, b)
-    s_o = pick(s_f, s_b)
-    R_o = jnp.where(ok, R_f, R_b)
-    t_o = jnp.where(ok, t_f, t_b)
-    inl_o = jnp.where(ok, inl2, inl)
+
+    # iterative trimmed refit: refit on inliers, re-gate at a SHRINKING
+    # threshold (thresh -> thresh/2 -> thresh/4, floored) — the wide RANSAC
+    # gate finds the consensus basin, the trimming converges to the tight
+    # rigid core instead of averaging near-miss wrong matches in
+    def trim(carry, th):
+        s_c, R_c, t_c, inl_c = carry
+        w = inl_c.astype(jnp.float32)
+        s_f, R_f, t_f = kabsch(src, dst, w=w, with_scale=with_scale)
+        r = jnp.linalg.norm(dst - (s_f * (src @ R_f.T) + t_f), axis=1)
+        inl_f = (r < th) & valid
+        # keep the refit only while it retains a usable support set
+        ok = jnp.sum(inl_f.astype(jnp.int32)) >= jnp.maximum(
+            8, jnp.sum(inl_c.astype(jnp.int32)) // 4)
+        s_o = jnp.where(ok, s_f, s_c)
+        R_o = jnp.where(ok, R_f, R_c)
+        t_o = jnp.where(ok, t_f, t_c)
+        inl_o = jnp.where(ok, inl_f, inl_c)
+        return (s_o, R_o, t_o, inl_o), None
+
+    ths = jnp.array([thresh, 0.5 * thresh, 0.25 * thresh, 0.25 * thresh],
+                    jnp.float32)
+    ths = jnp.maximum(ths, 0.01)
+    (s_o, R_o, t_o, inl_o), _ = jax.lax.scan(
+        trim, (s_b, R_b, t_b, inl), ths)
     return s_o, R_o, t_o, inl_o, jnp.sum(inl_o.astype(jnp.int32))
 
 
@@ -111,7 +125,7 @@ def refine_sim3(cam, s0, R12, t12,
         return jnp.stack([cam.fx * p[:, 0] / z + cam.cx,
                           cam.fy * p[:, 1] / z + cam.cy], -1)
 
-    def residuals(params):
+    def residuals(params, w_rob):
         w, u, log_s = params[:3], params[3:6], params[6]
         dR = _se3.so3_exp(w)
         R = dR @ R12
@@ -122,20 +136,32 @@ def refine_sim3(cam, s0, R12, t12,
         Rinv = R.T
         p2 = (x1 - t) @ Rinv.T / s                 # x1 -> frame 2
         r2 = (project(p2) - uv2) * valid[:, None]
-        return jnp.concatenate([r1, r2], 0).reshape(-1)
+        return (jnp.concatenate([r1, r2], 0)
+                * w_rob[:, None]).reshape(-1)
+
+    def huber_w(params):
+        # sqrt-Huber IRLS weights from the CURRENT residuals — g2o's
+        # RobustKernelHuber on the Sim3 edges (OptimizeSim3 uses chi2
+        # gating; a smooth Huber downweight is the batched equivalent and
+        # keeps the 60%+ wrong ratio matches from dragging the fit)
+        r = residuals(params, jnp.ones(2 * x1.shape[0]))
+        e = jnp.sqrt(jnp.sum(r.reshape(-1, 2) ** 2, -1) + 1e-12)
+        delta = jnp.sqrt(chi2_th)
+        return jnp.sqrt(jnp.minimum(1.0, delta / e))
 
     params = jnp.zeros(7)
     lam0 = jnp.float32(1e-3)
 
     def step(carry, _):
         params, lam = carry
-        r = residuals(params)
-        J = jax.jacfwd(residuals)(params)
+        w_rob = huber_w(params)
+        r = residuals(params, w_rob)
+        J = jax.jacfwd(residuals)(params, w_rob)
         H = J.T @ J + lam * jnp.eye(7)
         g = J.T @ r
         dp = -jnp.linalg.solve(H, g)
         new = params + dp
-        better = jnp.sum(residuals(new) ** 2) < jnp.sum(r ** 2)
+        better = jnp.sum(residuals(new, w_rob) ** 2) < jnp.sum(r ** 2)
         params = jnp.where(better, new, params)
         lam = jnp.clip(jnp.where(better, lam * 0.5, lam * 5.0), 1e-8, 1e2)
         return (params, lam), None

@@ -109,7 +109,8 @@ def unshard_points(Xs: np.ndarray, n_points: int) -> np.ndarray:
 def distributed_bundle_adjust(cam, prob, mesh: Mesh, iters: int = 8,
                               cg_iters: int = 32,
                               chi2_mono: float = CHI2_MONO,
-                              chi2_stereo: float = CHI2_STEREO):
+                              chi2_stereo: float = CHI2_STEREO,
+                              should_abort=None):
     """Run the engine's gathered point-BA problem on a device mesh.
 
     ``prob`` is the engine's ``optim.local_ba.BAProblem`` (duck-typed: the
@@ -144,7 +145,12 @@ def distributed_bundle_adjust(cam, prob, mesh: Mesh, iters: int = 8,
         n_shards=n_shards,
     )
     lam = 1e-3
-    for _ in range(iters):
+    for it in range(iters):
+        # mbStopGBA (LoopClosing.cc:641-647): a queued keyframe aborts the
+        # GBA between steps — each step is one dispatched program, so the
+        # abort latency is one GN step, same as the single-device stepped BA
+        if should_abort is not None and it > 0 and should_abort():
+            break
         Rn, tn, Xn = distributed_cg_step(cam, sharded, mesh, lam=lam,
                                          cg_iters=cg_iters)
         sharded = sharded._replace(cam_R=Rn, cam_t=tn, pt_xyz=Xn)

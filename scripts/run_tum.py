@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--pcd", action="store_true")
     ap.add_argument("--native-loader", action="store_true")
     ap.add_argument("--max-frames", type=int, default=0)
+    ap.add_argument("--sync", action="store_true",
+                    help="run mapping + loop closing synchronously in the "
+                         "frame loop (default: async workers, the "
+                         "reference's thread architecture — System.cc:86-118)")
     args = ap.parse_args()
 
     from plslam_tpu.config import load_yaml
@@ -41,7 +45,8 @@ def main():
     if args.no_lines:
         cfg = cfg.replace(use_lines=False)
     slam = System(cfg, enable_loop_closing=not args.no_loop,
-                  enable_dense_cloud=args.pcd)
+                  enable_dense_cloud=args.pcd,
+                  async_mapping=not args.sync)
 
     root = args.root or os.path.dirname(os.path.abspath(args.assoc))
     if args.native_loader:

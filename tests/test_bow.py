@@ -116,3 +116,36 @@ def test_100k_vocabulary_and_sparse_kfdb():
     db.erase(1)
     s = db.score_all(bows[1])
     assert s[1] == 0.0
+
+
+def test_dbow2_text_round_trip(tmp_path):
+    """Write-then-load in the exact ORBvoc.txt format (System.cc:64-72's
+    entry path; TemplatedVocabulary.h:1206-1296): the reloaded vocabulary
+    must transform identically to the in-memory original — node tree,
+    weights and all (round-3 gap: load_dbow2_text had zero coverage)."""
+    voc = vocabulary.Vocabulary.load(VOC_PATH)
+    path = str(tmp_path / "voc.txt")
+    vocabulary.save_dbow2_text(voc, path)
+    # spot-check the serialized format the reference's parser expects:
+    # header "k L s1 s2", then "parent is_leaf d0..d31 weight" per node
+    with open(path) as f:
+        header = f.readline().split()
+        assert header[0] == str(voc.k) and header[1] == str(voc.levels)
+        first = f.readline().split()
+        assert len(first) == 35
+        assert first[0] == "0"  # level-0 nodes parent to the root
+    voc2 = vocabulary.load_dbow2_text(path)
+    assert voc2.k == voc.k and voc2.levels == voc.levels
+    assert voc2.n_words == voc.n_words
+    for l in range(voc.levels):
+        np.testing.assert_array_equal(
+            np.asarray(voc2.node_desc[l]), np.asarray(voc.node_desc[l]))
+    np.testing.assert_allclose(
+        np.asarray(voc2.idf), np.asarray(voc.idf), rtol=1e-5)
+    rng = np.random.default_rng(7)
+    desc = jnp.asarray(rng.integers(0, 256, (128, 32)), jnp.uint8)
+    valid = jnp.ones(128, bool)
+    w1, b1 = voc.transform(desc, valid)
+    w2, b2 = voc2.transform(desc, valid)
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2), atol=1e-6)

@@ -234,9 +234,22 @@ class TestLoopClosing:
         """The explicit loop pipeline end-to-end: with the sectors sharing
         NOTHING (no covisibility, no fusion bridge — the discontinuity of
         real long-horizon drift), BoW detection → covisibility-consistency
-        chain → Kabsch RANSAC Sim3 → correction + essential graph + GBA
-        must fire and pull the sectors back together."""
+        chain → Kabsch RANSAC Sim3 → correction + SearchAndFuse +
+        essential graph + GBA must fire and pull the sectors back together.
+
+        The convergence target is the GROUND-TRUTH relative pose at the
+        anchor, NOT the pre-displacement tracked relative: the fast orbit
+        (3 deg/frame) accumulates ~20 cm of REAL drift between the sectors'
+        geometry estimates, comparable to the injected displacement, so the
+        pre-displacement map is itself far from truth there. The loop
+        pipeline measures the PHYSICAL relative from revisited landmarks
+        (instrumented: the trimmed Kabsch core agrees with GT to ~6 mm) and
+        the corrected map must land on it."""
         cfg, m, lm, lc, tr, kf_cut, pre_R, pre_t = self._severed_map()
+        poses = orbit_poses(150)
+        fid = m.kf_frame_id[:m.n_kf]
+        gt_R = np.stack([poses[int(f)][0] for f in fid])
+        gt_t = np.stack([poses[int(f)][1] for f in fid])
         k = max(q for q in range(m.n_kf) if m.kf_valid[q])
         disp_R = m.kf_R[:m.n_kf].copy()
         disp_t = m.kf_t[:m.n_kf].copy()
@@ -250,18 +263,25 @@ class TestLoopClosing:
         assert lc.n_loops_closed >= 1, "loop closure never fired"
         k1, k2 = lc.last_loop_pair
         assert k2 < kf_cut <= k1, f"loop pair {k1},{k2} not cross-sector"
-        # at the loop anchor the correction must recover the ground-truth
-        # relative geometry (off-cycle old keyframes keep their simulated
-        # drift — only observations, which severance removed, could fix
-        # those; same property as the reference's essential graph)
+        # the fusion must have stitched the sectors' observation graphs
+        # back together (SearchAndFuse; without this the GBA relaxes the
+        # correction away — round-3's failure mode)
+        cross = sum(
+            1 for pid in m.point_ids()
+            if any(q < kf_cut for q in m.pt_obs[pid])
+            and any(q >= kf_cut for q in m.pt_obs[pid]))
+        assert cross >= 20, f"only {cross} cross-sector landmarks after fuse"
         err_before = self._cross_sector_err(disp_R, disp_t, k2, k1,
-                                            pre_R, pre_t)
+                                            gt_R, gt_t)
         err_after = self._cross_sector_err(m.kf_R, m.kf_t, k2, k1,
-                                           pre_R, pre_t)
+                                           gt_R, gt_t)
         assert err_before > 0.05, "severance did not displace the anchor"
-        assert err_after < 0.5 * err_before, (
+        assert err_after < 0.05, (
+            f"correction did not land on the physical relative: "
+            f"{err_before*100:.1f}cm -> {err_after*100:.1f}cm vs GT")
+        assert err_after < 0.3 * err_before, (
             f"correction did not converge at the anchor: "
-            f"{err_before*100:.1f}cm -> {err_after*100:.1f}cm")
+            f"{err_before*100:.1f}cm -> {err_after*100:.1f}cm vs GT")
 
 
 class TestTrajectoryHealing:

@@ -187,3 +187,43 @@ class TestEngineDistributedGBA:
         err1 = self._pose_err(m1, gt)
         assert err1.mean() < 0.5 * err0.mean(), (
             f"GBA did not improve: {err0.mean():.4f} -> {err1.mean():.4f}")
+
+
+def test_distributed_gba_aborts_on_signal(monkeypatch):
+    """mbStopGBA semantics on the distributed path (round-3 gap: the
+    single-device stepped BA honored should_abort but
+    distributed_bundle_adjust ran to completion): an abort signal raised
+    after the first step must stop the iteration early and still return a
+    usable (partially optimized) result."""
+    from plslam_tpu.optim import local_ba
+
+    rng = np.random.default_rng(5)
+    args, poses, pts_gt = small_problem(rng)
+    (cam_R, cam_t, fixed, pts0, pt_valid,
+     obs_cam, obs_pt, obs_uv, obs_ur, obs_w, obs_val) = args
+    C, Pn, O = len(cam_R), len(pts0), len(obs_cam)
+    prob = local_ba.make_problem(C, Pn, O, 1, 1)
+    prob = prob._replace(
+        cam_R=jnp.asarray(cam_R), cam_t=jnp.asarray(cam_t),
+        cam_fixed=jnp.asarray(fixed), cam_valid=jnp.ones(C, bool),
+        pt_xyz=jnp.asarray(pts0), pt_valid=jnp.asarray(pt_valid),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_pt=jnp.asarray(obs_pt, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv), obs_ur=jnp.asarray(obs_ur),
+        obs_w=jnp.asarray(obs_w), obs_valid=jnp.asarray(obs_val),
+    )
+    mesh = make_mesh(min(4, jax.device_count()))
+    calls = []
+    real_step = pba.distributed_cg_step
+
+    def counting_step(*a, **kw):
+        calls.append(1)
+        return real_step(*a, **kw)
+
+    monkeypatch.setattr(pba, "distributed_cg_step", counting_step)
+    Rn, tn, Xn, inl = pba.distributed_bundle_adjust(
+        CAM, prob, mesh, iters=8, cg_iters=16,
+        should_abort=lambda: len(calls) >= 2)
+    assert len(calls) == 2, f"ran {len(calls)} steps, abort ignored"
+    assert Rn.shape == (C, 3, 3) and Xn.shape == (Pn, 3)
+    assert inl.sum() > 0
