@@ -39,6 +39,9 @@ LOOP_PROJ_ACCEPT = 40
 # here — our feature budget is 1000 vs the reference's per-image ~1000 but
 # synthetic scenes bind fewer)
 LOOP_CONN_MIN_WEIGHT = 30
+# agreeing map-line matches that corroborate a borderline point count in
+# loop verification (no reference analogue — its loops are points-only)
+LOOP_LINE_ACCEPT = 5
 
 
 class LoopCloser:
@@ -87,13 +90,39 @@ class LoopCloser:
         m = self.map
         bow = self.kfdb.get_bow(kf)
         covis = set(m.covisible_keyframes(kf))
-        if not covis:
+        anchors = covis
+        if not anchors:
+            # a freshly minted island keyframe (post-discontinuity) has no
+            # covisibles, but its IMAGE still identifies the revisit — the
+            # temporal predecessors stand in for the min-score reference
+            # (DetectLoop's vpConnectedKeyFrames, LoopClosing.cc:167-185)
+            anchors = {q for q in range(max(0, kf - 3), kf)
+                       if m.kf_valid[q] and self.kfdb.has[q]}
+        if not anchors:
             return []
         scores = self.kfdb.score_all(bow)
-        min_score = min(scores[c] for c in covis)
+        min_score = min(scores[c] for c in anchors)
         cands = self.kfdb.detect_loop_candidates(
             kf, bow, float(min_score), covis | {kf}, m
         )
+        # group-connectivity gate: if the current covisibility GROUP is
+        # already strongly connected to the candidate's group, the revisit
+        # has been absorbed by fusion — the drift lives in reconciled
+        # shared landmarks and a full-Sim3 correction would tear that
+        # reconciliation apart (measured: mass chi2 erasure at the revisit
+        # keyframes). One-hop extension of the reference's direct-covisible
+        # candidate exclusion (KeyFrameDatabase.cc:129-141): loop closure
+        # is for DISCONNECTED sectors; connected drift belongs to local
+        # BA + fusion.
+        strong = set()
+        for g in [kf] + m.covisible_keyframes(kf, 20, min_weight=15):
+            strong.update(
+                o for o, c in m.covisibility_counts(g).items() if c >= 15)
+            strong.add(g)
+        cands = [
+            c for c in cands
+            if not (({c} | set(m.covisible_keyframes(c, 10))) & strong)
+        ]
         # consistency chaining (LoopClosing.cc:203-341)
         current_groups: list[tuple[set[int], int]] = []
         consistent: list[int] = []
@@ -211,9 +240,48 @@ class LoopCloser:
             jnp.asarray(Rc), jnp.asarray(tc),
         )
         n_proj = int(np.asarray(fok)[:k].sum())
-        if n_proj < LOOP_PROJ_ACCEPT:
+        # line verification (EXCEEDS the reference — LoopClosing.cc is
+        # points-only, SURVEY §2 row 19): project the loop neighborhood's
+        # map LINES into kf1 at the corrected pose and run the strict gate
+        # cascade; agreeing line structure lets a loop with a slightly
+        # under-threshold point count through (geometry corroborated by an
+        # independent feature modality), and is logged either way
+        n_line = self._count_line_agreement(kf2, d1, Rc, tc) \
+            if self.cfg.use_lines else 0
+        if n_proj < LOOP_PROJ_ACCEPT and not (
+                n_proj >= int(0.7 * LOOP_PROJ_ACCEPT)
+                and n_line >= LOOP_LINE_ACCEPT):
             return None
         return R12, t12, s12, n_match
+
+    def _count_line_agreement(self, kf2: int, d1, Rc, tc) -> int:
+        """Match kf2's neighborhood map lines against kf1's frame lines
+        under the corrected pose (strict cascade, no relaxed retry)."""
+        from ..ops import line_matching
+
+        m = self.map
+        with self.lock:
+            neigh = [kf2] + m.covisible_keyframes(kf2, 10)
+            lids = np.unique(m.kf_ln_idx[neigh])
+            lids = lids[(lids >= 0) & m.ln_valid[np.clip(lids, 0, None)]]
+            if len(lids) == 0:
+                return 0
+            LC = 256
+            kl = min(len(lids), LC)
+            ep = np.zeros((LC, 2, 3), np.float32)
+            lval = np.zeros(LC, bool)
+            lid_pad = np.zeros(LC, np.int32)
+            ep[:kl] = m.ln_ep[lids[:kl]]
+            lval[:kl] = True
+            lid_pad[:kl] = lids[:kl]
+        ldesc = m.line_desc_arena()[jnp.asarray(lid_pad)]
+        projl = line_matching.project_lines(
+            self.cfg.camera, jnp.asarray(Rc), jnp.asarray(tc),
+            jnp.asarray(ep), jnp.asarray(lval))
+        res = line_matching.match_lines(
+            projl, ldesc, d1.ln_ep_un, d1.ln_angle, d1.ln_length,
+            d1.ln_desc, d1.ln_valid, self.cfg.lines, allow_relax=False)
+        return int(np.asarray(res.count))
 
     # ---------------------------------------------------------- correction
     def _correct_loop(self, kf1: int, kf2: int, R12, t12, s12=1.0):
@@ -381,6 +449,8 @@ class LoopCloser:
         ok2[:, k:] = False
         lm = self.local_mapper
         base = getattr(lm, "inner", lm)
+        if base is None:
+            return
         touched: list[int] = []
         with self.lock:
             for ki, okf in enumerate(targets):

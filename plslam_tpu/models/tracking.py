@@ -528,6 +528,9 @@ class Tracker:
 
     LM_CAP = 8192
     LL_CAP = 512
+    # max frames between local-map harvests when no keyframe event fires
+    # (the reference harvests every frame; see _finish)
+    REFRESH_MAX_FRAMES = 12
 
     def __init__(self, cfg: SlamConfig, slam_map: SlamMap,
                  local_mapper=None, loop_closer=None, voc=None, kfdb=None,
@@ -581,6 +584,8 @@ class Tracker:
         self._lm_args = None
         self._lp_ids = np.zeros(0, np.int32)
         self._ll_ids = np.zeros(0, np.int32)
+        self._refresh_frame = -1  # frame id of the last local-map harvest
+        self._refresh_inl = 0     # inlier baseline at that harvest
         # host mirrors for the current/last frame
         self.last_pose: tuple[np.ndarray, np.ndarray] | None = None
         self.last_pt_ids: np.ndarray | None = None
@@ -1201,15 +1206,31 @@ class Tracker:
                 self._create_new_keyframe(out.fd, R, t, cur_pt_ids,
                                           cur_ln_ids, timestamp,
                                           frame_id=frame_id, host=fd_host)
-                # the spawning frame references its OWN keyframe (the
-                # reference sets mpReferenceKF = pKFnew inside
-                # CreateNewKeyFrame before the trajectory bookkeeping,
-                # Tracking.cc:1664, :578-597) — healed poses at keyframe
-                # timestamps then equal the corrected keyframe poses exactly
-                # relative-to-own-KF is identity BY CONSTRUCTION (the KF was
-                # minted from this very frame pose) — don't recompute from
-                # kf_R (a BA step inside process_keyframe may already have
-                # nudged it, which would bake the nudge's inverse in)
+        elif (frame_id - self._refresh_frame >= self.REFRESH_MAX_FRAMES
+              or n_in < 0.5 * self._refresh_inl):
+            # the local map normally refreshes at keyframe events; when the
+            # camera keeps moving WITHOUT minting keyframes (e.g. re-
+            # entering well-mapped territory after a loop closure) the
+            # device local map goes stale and inliers starve — the
+            # reference re-harvests EVERY frame (UpdateLocalKeyFrames,
+            # Tracking.cc:1867-2035); a bounded cadence + inlier-decay
+            # trigger is the pipelined equivalent
+            with self._map_lock:
+                self._refresh_local_map(cur_pt_ids, cur_ln_ids,
+                                        rebind=False)
+            self._refresh_inl = n_in
+        if need:
+            self._refresh_inl = n_in
+            # the spawning frame references its OWN keyframe (the
+            # reference sets mpReferenceKF = pKFnew inside
+            # CreateNewKeyFrame before the trajectory bookkeeping,
+            # Tracking.cc:1664, :578-597) — healed poses at keyframe
+            # timestamps then equal the corrected keyframe poses exactly;
+            # relative-to-own-KF is identity BY CONSTRUCTION (the KF was
+            # minted from this very frame pose) — don't recompute from
+            # kf_R (a BA step inside process_keyframe may already have
+            # nudged it, which would bake the nudge's inverse in)
+            with self._map_lock:
                 self.traj_refs[-1] = (int(self.last_kf),
                                       np.eye(3, dtype=np.float32),
                                       np.zeros(3, np.float32))
@@ -1230,6 +1251,7 @@ class Tracker:
         next fused step."""
         old_lp = self._lp_ids
         old_ll = self._ll_ids
+        self._refresh_frame = self.frame_id
         lkfs = self._local_keyframes(cur_pt_ids)
         lp_ids, ll_ids = self._local_landmarks(lkfs)
         self._lp_ids = lp_ids
@@ -1326,13 +1348,33 @@ class Tracker:
         self.ref_kf = k1[0]
         out = list(k1)
         seen = set(out)
-        for kf in k1:
-            if len(out) >= self.cfg.tracking.local_map_kf_cap:
-                break
-            for nkf in self.map.covisible_keyframes(kf, 10):
+        depth = {kf: 0 for kf in out}
+        # depth-2 BFS over covisibility neighbors + SPANNING-TREE parent/
+        # children (UpdateLocalKeyFrames, Tracking.cc:1966-2025). Tree
+        # links bridge chain segments whose covisibility is weak (fast
+        # motion, aggressive culling); the second hop lets the harvest
+        # walk out of a freshly minted keyframe island (island -> parent
+        # -> parent's neighborhood) where a one-hop expansion stops at the
+        # island's edge and matching starves. Deeper expansion is harmful:
+        # it floods the local map with far-away landmarks that pollute
+        # projection matching.
+        i = 0
+        while i < len(out) and \
+                len(out) < self.cfg.tracking.local_map_kf_cap:
+            kf = out[i]
+            i += 1
+            if depth[kf] >= 2:
+                continue
+            neigh = list(m.covisible_keyframes(kf, 10))
+            p = int(m.kf_parent[kf])
+            if p >= 0 and m.kf_valid[p]:
+                neigh.append(p)
+            neigh.extend(c for c in m.kf_children[kf] if m.kf_valid[c])
+            for nkf in neigh:
                 if nkf not in seen:
                     out.append(nkf)
                     seen.add(nkf)
+                    depth[nkf] = depth[kf] + 1
         return out[: self.cfg.tracking.local_map_kf_cap]
 
     def _local_landmarks(self, lkfs: list[int]):
@@ -1360,8 +1402,18 @@ class Tracker:
             creatable_close > 70)
         min_obs = 2 if self.map.n_kf <= 2 else 3
         ref_tracked = 1
-        if self.ref_kf >= 0:
-            pids = self.map.kf_pt_idx[self.ref_kf]
+        ref = self.ref_kf
+        if ref >= 0 and not self.map.kf_valid[ref]:
+            # the reference keyframe can be CULLED under us (e.g. the loop
+            # fusion made it redundant); a culled row reads 0 tracked and
+            # would wedge c2 into `n_in < 0.75` = never — fall back to the
+            # newest surviving keyframe (the reference re-picks
+            # mpReferenceKF every frame in UpdateLocalKeyFrames)
+            ref = max((q for q in range(self.map.n_kf)
+                       if self.map.kf_valid[q]), default=-1)
+            self.ref_kf = ref
+        if ref >= 0:
+            pids = self.map.kf_pt_idx[ref]
             pids = pids[pids >= 0]
             cnt = sum(1 for p in pids if len(self.map.pt_obs[p]) >= min_obs)
             ref_tracked = max(cnt if cnt > 0 else len(pids), 1)

@@ -33,6 +33,15 @@ def main():
     ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--distractors", type=int, default=3,
                     help="distractor scenes registered as confusers")
+    ap.add_argument("--perturb", action="store_true",
+                    help="photometric perturbation of queries (gamma + "
+                         "brightness + sensor noise) — the hard protocol "
+                         "that separates vocabulary scales")
+    ap.add_argument("--gamma", type=float, default=0.7)
+    ap.add_argument("--noise", type=float, default=6.0)
+    ap.add_argument("--brightness", type=float, default=20.0)
+    ap.add_argument("--radius-jitter", type=float, default=0.0,
+                    help="query orbit radius offset (viewpoint change)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -64,14 +73,28 @@ def main():
         R = Rwc.T.astype(np.float32)
         return a, R, (-R @ c).astype(np.float32)
 
-    def bow_of(i, jitter):
-        a, R, t = orbit_pose(i, jitter=jitter)
+    prng = np.random.default_rng(args.seed + 1)
+
+    def perturb(g):
+        # gamma + brightness + sensor noise: the photometric gap between a
+        # mapping session and a revisit (what kills weak vocabularies on
+        # real data)
+        g = 255.0 * (np.clip(g, 0, 255) / 255.0) ** args.gamma
+        g = g + args.brightness + prng.normal(0.0, args.noise, g.shape)
+        return np.clip(g, 0, 255).astype(np.float32)
+
+    def bow_of(i, jitter, radius=0.45, hard=False):
+        a, R, t = orbit_pose(i, radius=radius, jitter=jitter)
         g, _ = scene.render(cam, R, t)
+        if hard and args.perturb:
+            g = perturb(g)
         f = orb.extract_orb(jnp.asarray(g), ocfg, (480, 640))
         _, bow = voc.transform(f.desc, f.valid)
         return a, np.asarray(bow)
 
-    db = KeyFrameDatabase(voc, max_kf=512)
+    n_entries = (n // args.db_stride + 1) + args.distractors * (
+        n // (args.db_stride * 2) + 1)
+    db = KeyFrameDatabase(voc, max_kf=max(512, 2 * n_entries))
     db_angles = {}
     k = 0
     for i in range(0, n, args.db_stride):
@@ -107,7 +130,8 @@ def main():
     n_q = 0
     # lap 2: offset phase + small lateral jitter = a genuine revisit
     for i in range(0, n, 3):
-        a, bow = bow_of(i + 1, jitter=0.03)
+        a, bow = bow_of(i + 1, jitter=0.03,
+                        radius=0.45 + args.radius_jitter, hard=True)
         scores = db.score_all(bow)
         shared = db.shared_words(bow)
         order = np.argsort(scores)[::-1]

@@ -42,8 +42,28 @@ ORBextractor.minThFAST: 7
 """
 
 
+def orbit_trajectory(n: int, radius: float = 0.45):
+    """Full-turn orbit with a sustained revisit tail (the loopy-sequence
+    generator: the camera yaws a complete revolution by frame ``n - 30``
+    and re-observes the start — the reference's golden artifact is a loopy
+    fr1_room run, results/CameraTrajectory.txt)."""
+    import jax.numpy as jnp
+
+    from plslam_tpu.geometry import se3
+
+    poses = []
+    for i in range(n):
+        a = 2 * np.pi * i / max(n - 30, 1)
+        c = np.array(
+            [radius * np.sin(a), 0.0, 1.25 + radius * np.cos(a)], np.float32)
+        Rwc = np.asarray(se3.so3_exp(jnp.asarray([0.0, a, 0.0], jnp.float32)))
+        R = Rwc.T.astype(np.float32)
+        poses.append((R, (-R @ c).astype(np.float32)))
+    return poses
+
+
 def generate(out: str, n_frames: int = 60, seed: int = 0,
-             fps: float = 30.0) -> None:
+             fps: float = 30.0, orbit: bool = False) -> None:
     import cv2
     import jax.numpy as jnp
 
@@ -54,7 +74,10 @@ def generate(out: str, n_frames: int = 60, seed: int = 0,
 
     cam = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
     scene = RoomScene(seed)
-    poses = smooth_trajectory(2 * n_frames)[:n_frames]
+    if orbit:
+        poses = orbit_trajectory(n_frames)
+    else:
+        poses = smooth_trajectory(2 * n_frames)[:n_frames]
     os.makedirs(os.path.join(out, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out, "depth"), exist_ok=True)
     factor = 5000.0
@@ -93,8 +116,10 @@ def main():
     ap.add_argument("out")
     ap.add_argument("--frames", type=int, default=60)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--orbit", action="store_true",
+                    help="full-turn revisit trajectory (loopy sequence)")
     args = ap.parse_args()
-    generate(args.out, args.frames, args.seed)
+    generate(args.out, args.frames, args.seed, orbit=args.orbit)
 
 
 if __name__ == "__main__":

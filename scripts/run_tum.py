@@ -35,6 +35,10 @@ def main():
                     help="run mapping + loop closing synchronously in the "
                          "frame loop (default: async workers, the "
                          "reference's thread architecture — System.cc:86-118)")
+    ap.add_argument("--save-raw", action="store_true",
+                    help="also save the AS-TRACKED (unhealed) trajectory "
+                         "as CameraTrajectoryRaw.txt for healed-vs-raw "
+                         "ATE comparison")
     args = ap.parse_args()
 
     from plslam_tpu.config import load_yaml
@@ -88,6 +92,13 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     slam.save_trajectory_tum(os.path.join(args.out, "CameraTrajectory.txt"))
+    if args.save_raw:
+        tr = slam.tracker
+        ts_raw = [t for t, _, _ in tr.trajectory]
+        poses_raw = [(R.T, -(R.T @ t)) for _, R, t in tr.trajectory]
+        tum_io.save_trajectory_tum(
+            os.path.join(args.out, "CameraTrajectoryRaw.txt"),
+            ts_raw, poses_raw)
     slam.save_keyframe_trajectory_tum(
         os.path.join(args.out, "KeyFrameTrajectory.txt"))
     if args.pcd:

@@ -31,12 +31,15 @@ CAM = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
 
 
 def test_loop_closes_async_without_stalling_frame_loop():
-    """Track the orbit with BOTH workers async and a drift injection that
-    forces a loop closure. The loop pipeline (detect -> Sim3 -> correct ->
-    essential graph -> GBA) must fire ON THE WORKER, frame retirement must
-    continue during the pass, and the correction must land (final pose
-    consistent with KF0 in the gauge-invariant sense)."""
-    from tests.test_loop_closing import _rel_err_vs_gt, inject_drift
+    """Track the orbit with BOTH workers async and a mid-run sector
+    severance + displacement that forces a loop closure (the kidnapped-map
+    discontinuity; a connected drift injection no longer qualifies — the
+    group-connectivity gate correctly routes that to fusion/local BA). The
+    loop pipeline (detect -> Sim3 -> correct -> fuse -> essential graph ->
+    GBA) must fire ON THE WORKER, frame retirement must continue during
+    the pass, and the correction must land (final pose consistent with KF0
+    in the gauge-invariant sense)."""
+    from tests.test_loop_closing import _rel_err_vs_gt, sever_and_displace
 
     cfg = SlamConfig(camera=CAM)
     slam = System(cfg, enable_loop_closing=True, async_mapping=True)
@@ -63,8 +66,13 @@ def test_loop_closes_async_without_stalling_frame_loop():
                 retired_during_loop += 1
         if i == drift_at:
             slam.local_mapper.wait_idle(timeout=60.0)
+            lc.wait_idle(timeout=60.0)
             with tr._map_lock:
-                inject_drift(m, tr, max(m.n_kf // 2, 1), W_R, W_t)
+                sever_and_displace(m, tr, max(m.n_kf // 2, 1), W_R, W_t)
+                base = getattr(lc, "inner", lc)
+                base.prev_groups = []
+                base.last_loop_kf = -(10**9)
+                base.n_loops_closed = 0
             tr._refresh_local_map(tr.last_pt_ids, tr.last_ln_ids)
     slam._quiesce()
     assert lc.n_loops_closed >= 1, "async loop closure never fired"

@@ -116,3 +116,35 @@ def test_line_descriptor_refresh_changes_arena():
     # check it is a real (non-zero) descriptor at minimum
     assert np.all(after.sum(axis=1) > 0)
     assert before.shape == after.shape
+
+
+def test_loop_line_agreement_signal():
+    """Line observations as a loop-verification signal (no reference
+    analogue — its loops are points-only): with the TRUE relative pose the
+    projected map lines must find agreeing frame lines; with a badly wrong
+    pose the strict cascade must report (near) zero agreement."""
+    from plslam_tpu.bow.database import KeyFrameDatabase
+    from plslam_tpu.bow.vocabulary import Vocabulary
+    from plslam_tpu.models.loop_closing import LoopCloser
+    import os
+
+    cfg, m, lm, tr = _run(n_frames=40)
+    if m.n_lines() < 5:
+        pytest.skip("scene produced too few lines")
+    voc = Vocabulary.load(os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plslam_tpu", "bow", "vocab_synth.npz"))
+    kfdb = KeyFrameDatabase(voc, max_kf=cfg.capacity.max_keyframes)
+    lc = LoopCloser(cfg, m, kfdb, voc, local_mapper=lm)
+    valid = [q for q in range(m.n_kf) if m.kf_valid[q]]
+    k1 = valid[-1]
+    k2 = valid[-2]  # overlapping view: its neighborhood's lines project
+    d1 = m.device_frame(k1)
+    n_true = lc._count_line_agreement(k2, d1, m.kf_R[k1], m.kf_t[k1])
+    assert n_true >= 3, f"only {n_true} agreeing lines at the true pose"
+    R_bad = m.kf_R[k1] @ np.array(
+        [[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+    t_bad = m.kf_t[k1] + np.float32([1.5, 0.8, -1.0])
+    n_bad = lc._count_line_agreement(k2, d1, R_bad, t_bad)
+    assert n_bad < n_true, (n_bad, n_true)
+    assert n_bad <= 2, f"wrong pose still matched {n_bad} lines"
