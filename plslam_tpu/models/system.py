@@ -219,6 +219,9 @@ class System:
         checkpoint.register_keyframes(self)
         self.tracker.state = LOST
         self.tracker.n_lost_frames = 0
+        # no motion prior into a freshly loaded map: the short-lost reloc
+        # gate must not compare against a stale pre-load pose
+        self.tracker.last_pose = None
 
     def map_changed(self) -> bool:
         """System::MapChanged (System.cc:294-305)."""

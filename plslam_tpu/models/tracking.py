@@ -897,6 +897,22 @@ class Tracker:
         if out is None:
             return False
         R, t, cur_pt_ids = out
+        # motion-prior gate on SHORT-lost relocalization: right after a
+        # transient tracking failure the camera is within motion-model
+        # reach of the last confident pose; a relocalization that lands
+        # far away has latched onto an inconsistent (badly-drifted) sector
+        # of the map — reject it and stay LOST, the budget widens with
+        # every lost frame so genuine kidnappings still recover. (The
+        # reference accepts any reloc pose; measured here: a 34 cm drift
+        # island captured the tracker through exactly this door.)
+        if self.last_pose is not None:
+            Rl, tl = self.last_pose
+            c_new = -(np.asarray(R).T @ np.asarray(t))
+            c_old = -(Rl.T @ tl)
+            jump = float(np.linalg.norm(c_new - c_old))
+            budget = 0.06 + 0.025 * self.n_lost_frames
+            if jump > budget and self.n_lost_frames < 10:
+                return False
         # the relocalized pose comes from the CURRENT map gauge; drop any
         # correction published for the abandoned pre-LOST state
         self._pending_gauge = None
