@@ -104,6 +104,10 @@ class TrackingConfig:
     rgb_order: bool = False               # Camera.RGB
     min_inliers_motion: int = 20          # TrackWithMotionModel success gate
     min_inliers_ref_kf: int = 15
+    # When the motion stage lands under this, the fused step runs the
+    # TrackReferenceKeyFrame-equivalent rescue (windowless local-map match
+    # + pose LM from the last pose, Tracking.cc:335-337,942-1032).
+    rescue_min_inliers: int = 20
     min_inliers_local_map: int = 30
     min_inliers_local_map_recent_kf: int = 50
     temporal_points_cap: int = 100        # UpdateLastFrame (Tracking.cc:1136)
@@ -135,6 +139,8 @@ class MappingConfig:
     local_ba_fixed_cap: int = 32
     local_ba_point_cap: int = 4096
     local_ba_obs_cap: int = 16384
+    local_ba_line_cap: int = 256
+    local_ba_lobs_cap: int = 1024
     local_ba_iters1: int = 5
     local_ba_iters2: int = 10
     # Above this camera count the Schur solve switches from the dense
@@ -162,6 +168,14 @@ class LoopConfig:
     sim3_min_matches: int = 20
     sim3_min_inliers: int = 20
     loop_accept_matches: int = 40
+    # Group-connectivity gate: candidates whose covisibility group is
+    # already connected to the current group by >= this many shared points
+    # are dropped (the drift is reconciled; a Sim3 correction would tear
+    # fusion apart). Well ABOVE the generic covisibility threshold (15):
+    # per-KF fusion at a revisit routinely creates a few dozen shared
+    # points before a loop event fires, and a genuine large-drift loop
+    # must not be suppressed by that trickle.
+    group_connectivity_min: int = 60
     essential_graph_iters: int = 20
     gba_iters: int = 10
     fix_scale: bool = True                # RGB-D: scale observable

@@ -29,10 +29,13 @@ from __future__ import annotations
 import threading
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_log = logging.getLogger(__name__)
 
 from ..config import SlamConfig
 from ..ops import matching
@@ -243,43 +246,55 @@ class LocalMapper:
         m = self.map
         th_obs = 3
         th_depth = self.cfg.tracking.th_depth
-        for ckf in m.covisible_keyframes(kf):
-            if ckf == 0 or ckf == kf or not m.kf_valid[ckf]:
+        cands = [c for c in m.covisible_keyframes(kf)
+                 if c != 0 and c != kf and m.kf_valid[c]
+                 and m.kf_frames[c] is not None]
+        if not cands:
+            return
+        # one join over kf_pt_idx (the inverse observation map) replaces
+        # the reference's per-point dict walks: a per-point histogram of
+        # observation octaves, whose running cumsum answers "how many
+        # observers at scale <= L" for every candidate feature at once.
+        # (Observers without a host frame snapshot can't contribute an
+        # octave and are excluded from both counts.)
+        n_lv = self.cfg.orb.n_levels
+        cams = [c for c in range(m.n_kf)
+                if m.kf_valid[c] and m.kf_frames[c] is not None]
+        rows = m.kf_pt_idx[cams]                               # (K, N)
+        octs = np.stack([m.kf_frames[c].kp_octave for c in cams])
+        obs_mask = (rows >= 0) & m.pt_valid[np.clip(rows, 0, None)]
+        hist = np.zeros((m.pt_pos.shape[0], n_lv), np.int32)
+        np.add.at(hist, (rows[obs_mask],
+                         np.clip(octs[obs_mask].astype(np.int32), 0,
+                                 n_lv - 1)), 1)
+        cum = np.cumsum(hist, axis=1)        # cum[p, L] = #obs octave <= L
+        n_obs = cum[:, -1]
+        for ckf in cands:
+            if not m.kf_valid[ckf]:
                 continue
             host = m.kf_frames[ckf]
-            if host is None:
-                continue
             row = m.kf_pt_idx[ckf]
-            feats = np.nonzero(row >= 0)[0]
-            n_pts = 0
-            n_red = 0
-            for feat in feats:
-                pid = int(row[feat])
-                if not m.pt_valid[pid]:
-                    continue
-                d = host.kp_depth[feat]
-                if d <= 0 or d > th_depth:
-                    continue
-                obs = m.pt_obs[pid]
-                if len(obs) <= th_obs:
-                    continue
-                n_pts += 1
-                lvl = int(host.kp_octave[feat]) + 1
-                cnt = 0
-                for okf, ofeat in obs.items():
-                    if okf == ckf:
-                        continue
-                    of = m.kf_frames[okf]
-                    if of is not None and int(of.kp_octave[ofeat]) <= lvl:
-                        cnt += 1
-                        if cnt >= th_obs:
-                            break
-                if cnt >= th_obs:
-                    n_red += 1
+            p = np.clip(row, 0, None)
+            d = host.kp_depth
+            ok = ((row >= 0) & m.pt_valid[p] & (d > 0) & (d <= th_depth)
+                  & (n_obs[p] > th_obs))
+            lvl = np.clip(host.kp_octave.astype(np.int32) + 1, 0, n_lv - 1)
+            # own observation always satisfies octave <= octave+1: subtract
+            others = cum[p, lvl] - 1
+            n_pts = int(ok.sum())
+            n_red = int((ok & (others >= th_obs)).sum())
             if n_pts > 0 and n_red > self.cfg.mapping.kf_culling_redundancy * n_pts:
+                sel = (row >= 0) & m.pt_valid[p]
                 m.erase_keyframe(ckf)
                 if self.kfdb is not None:
                     self.kfdb.erase(ckf)
+                # later candidates must not count the erased KF's obs
+                np.subtract.at(
+                    hist, (row[sel],
+                           np.clip(host.kp_octave[sel].astype(np.int32), 0,
+                                   n_lv - 1)), 1)
+                cum = np.cumsum(hist, axis=1)
+                n_obs = cum[:, -1]
 
     # --------------------------------------------------------------- fusion
     def fuse(self, kf: int):
@@ -612,6 +627,8 @@ class LocalMapper:
     def run_local_ba(self, kf: int, window: int | None = None,
                      obs_cap: int | None = None,
                      point_cap: int | None = None,
+                     line_cap: int | None = None,
+                     lobs_cap: int | None = None,
                      max_kf: int | None = None):
         """Gather the covisibility-local BA problem (under the map lock),
         run the stepped Schur LM with the lock RELEASED — one XLA program
@@ -632,8 +649,8 @@ class LocalMapper:
         C_max = window + mc.local_ba_fixed_cap
         P = point_cap or mc.local_ba_point_cap
         O = obs_cap or mc.local_ba_obs_cap
-        L = 256
-        OL = 1024
+        L = line_cap or mc.local_ba_line_cap
+        OL = lobs_cap or mc.local_ba_lobs_cap
 
         n_all = m.n_kf if max_kf is None else min(max_kf, m.n_kf)
         if window >= n_all:
@@ -647,9 +664,16 @@ class LocalMapper:
         local_set = set(local)
         # landmarks seen by local KFs
         pids = np.unique(m.kf_pt_idx[local])
-        pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]][:P]
+        pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]]
         lids = np.unique(m.kf_ln_idx[local])
-        lids = lids[(lids >= 0) & m.ln_valid[np.clip(lids, 0, None)]][:L]
+        lids = lids[(lids >= 0) & m.ln_valid[np.clip(lids, 0, None)]]
+        if len(pids) > P or len(lids) > L:
+            _log.warning(
+                "local BA caps truncate the problem: %d/%d points, %d/%d "
+                "lines (raise local_ba_point_cap/line_cap or pass caps)",
+                min(len(pids), P), len(pids), min(len(lids), L), len(lids))
+        pids = pids[:P]
+        lids = lids[:L]
         # fixed cameras: other observers of those landmarks
         fixed = []
         fixed_seen = set(local_set)
@@ -688,6 +712,8 @@ class LocalMapper:
         obs_mask = (rows >= 0) & (pidx >= 0)
         ci_arr, feat_arr = np.nonzero(obs_mask)
         if len(ci_arr) > O:
+            _log.warning("local BA obs cap truncates: %d/%d point obs",
+                         O, len(ci_arr))
             ci_arr, feat_arr = ci_arr[:O], feat_arr[:O]
         xy_s = np.stack([m.kf_frames[c].kp_xy_un for c in cams])
         ur_s = np.stack([m.kf_frames[c].kp_ur for c in cams])
@@ -706,6 +732,8 @@ class LocalMapper:
         lmask = (lrows >= 0) & (lidx >= 0)
         lci, lfeat = np.nonzero(lmask)
         if len(lci) > OL:
+            _log.warning("local BA line-obs cap truncates: %d/%d line obs",
+                         OL, len(lci))
             lci, lfeat = lci[:OL], lfeat[:OL]
         lep_s = np.stack([m.kf_frames[c].ln_ep_un for c in cams])
         lc = lci.astype(np.int32)

@@ -23,11 +23,15 @@ one — map lines ride along via the pose correction of their reference KFs.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..config import SlamConfig
+
+_log = logging.getLogger(__name__)
 from ..optim import horn
 from ..ops import matching, hamming
 from .map import SlamMap
@@ -113,11 +117,17 @@ class LoopCloser:
         # keyframes). One-hop extension of the reference's direct-covisible
         # candidate exclusion (KeyFrameDatabase.cc:129-141): loop closure
         # is for DISCONNECTED sectors; connected drift belongs to local
-        # BA + fusion.
+        # BA + fusion. "Strongly connected" uses its own (much higher)
+        # threshold than generic covisibility: per-KF fusion at a revisit
+        # creates a few dozen shared points before any loop event fires,
+        # and that trickle must not permanently suppress a genuine
+        # large-drift loop (config.loop.group_connectivity_min).
+        th_strong = self.cfg.loop.group_connectivity_min
         strong = set()
         for g in [kf] + m.covisible_keyframes(kf, 20, min_weight=15):
             strong.update(
-                o for o, c in m.covisibility_counts(g).items() if c >= 15)
+                o for o, c in m.covisibility_counts(g).items()
+                if c >= th_strong)
             strong.add(g)
         cands = [
             c for c in cands
@@ -406,11 +416,23 @@ class LoopCloser:
         m = self.map
         with self.lock:
             neigh = [kf2] + m.covisible_keyframes(kf2, 10)
-            pids = np.unique(m.kf_pt_idx[neigh])
-            pids = pids[(pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]]
+            pids, pid_counts = np.unique(m.kf_pt_idx[neigh],
+                                         return_counts=True)
+            keep = (pids >= 0) & m.pt_valid[np.clip(pids, 0, None)]
+            pids, pid_counts = pids[keep], pid_counts[keep]
             if len(pids) == 0:
                 return
-            targets = [g for g in group if m.kf_valid[g]][:10]
+            # cap pressure: keep the MOST-OBSERVED loop-side landmarks
+            # (strongest stitch anchors), not the lowest arena ids
+            if len(pids) > 4096:
+                _log.warning("SearchAndFuse point cap truncates: 4096/%d "
+                             "loop-side landmarks", len(pids))
+                pids = pids[np.argsort(-pid_counts, kind="stable")[:4096]]
+            targets = [g for g in group if m.kf_valid[g]]
+            if len(targets) > 10:
+                _log.warning("SearchAndFuse target cap truncates: 10/%d "
+                             "group keyframes", len(targets))
+                targets = targets[:10]
             if not targets:
                 return
             C = 4096
@@ -662,13 +684,17 @@ class LoopCloser:
         n_pts = m.n_points()
         point_cap = 1 << max(12, (max(n_pts, 1) - 1).bit_length())
         obs_cap = max(65536, 4 * point_cap)
+        # line caps scale with the map like the point caps (the reference's
+        # GBA refines every landmark it is given, Optimizer.cc:1670-2108)
+        line_cap = 1 << max(8, (max(m.n_lines(), 1) - 1).bit_length())
+        lobs_cap = max(4096, 4 * line_cap)
         with self.lock:
             K = m.n_kf
             old_R = m.kf_R[:K].copy()
             old_t = m.kf_t[:K].copy()
         self.local_mapper.run_local_ba(
             kf1, window=window, obs_cap=obs_cap, point_cap=point_cap,
-            max_kf=K)
+            line_cap=line_cap, lobs_cap=lobs_cap, max_kf=K)
         with self.lock:
             # keyframes created while GBA iterated ride along via their
             # anchors (RunGlobalBundleAdjustment tail, LoopClosing.cc:

@@ -53,6 +53,10 @@ class PointCloudMapper:
         self.cfg = cfg
         self.voxels: dict[tuple, tuple] = {}
         self.kf_inputs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # amortized loop-rebuild state: keyframes pending re-accumulation
+        # against the pose snapshot taken at mark_dirty time
+        self._rebuild_queue: list[int] = []
+        self._rebuild_poses: tuple | None = None
 
     def insert_keyframe(self, kf: int, gray: np.ndarray, depth: np.ndarray,
                         R: np.ndarray, t: np.ndarray):
@@ -78,14 +82,42 @@ class PointCloudMapper:
         for i in first:
             self.voxels[tuple(q[i])] = (pw[i], inten[i])
 
-    def rebuild(self, slam_map):
-        """Rebuild the global cloud from (corrected) keyframe poses — the
-        reference's loop-triggered rebuild (PointCloudMapping.cc:168-176)."""
+    def mark_dirty(self, slam_map):
+        """Schedule a rebuild from (corrected) keyframe poses — the
+        reference's loop-triggered rebuild (PointCloudMapping.cc:168-176),
+        which runs on the viewer thread there; here the re-accumulation is
+        amortized over subsequent ``step`` calls so the frame loop never
+        stalls for a full-map rebuild. Caller must hold the map lock: the
+        pose snapshot taken here is what the rebuild uses, so async
+        mapper/loop workers can keep writing poses afterwards without
+        tearing the cloud."""
+        n = getattr(slam_map, "n_kf", len(slam_map.kf_valid))
+        self._rebuild_poses = (np.array(slam_map.kf_R[:n]),
+                               np.array(slam_map.kf_t[:n]),
+                               np.array(slam_map.kf_valid[:n]))
+        self._rebuild_queue = [k for k in self.kf_inputs if k < n]
         self.voxels.clear()
-        for kf, (gray, depth) in self.kf_inputs.items():
-            if slam_map.kf_valid[kf]:
-                self._accumulate(gray, depth, slam_map.kf_R[kf],
-                                 slam_map.kf_t[kf])
+
+    def step(self, budget: int = 2):
+        """Re-accumulate up to ``budget`` pending keyframes (call once per
+        tracked frame; a loop rebuild of K keyframes finishes K/budget
+        frames later instead of stalling one frame for seconds)."""
+        while budget > 0 and self._rebuild_queue:
+            kf = self._rebuild_queue.pop()
+            R, t, valid = self._rebuild_poses
+            if valid[kf]:
+                gray, depth = self.kf_inputs[kf]
+                self._accumulate(gray, depth, R[kf], t[kf])
+            budget -= 1
+
+    def drain(self):
+        """Finish any pending rebuild synchronously (savers call this)."""
+        self.step(budget=len(self._rebuild_queue))
+
+    def rebuild(self, slam_map):
+        """Synchronous full rebuild (mark_dirty + drain)."""
+        self.mark_dirty(slam_map)
+        self.drain()
 
     def cloud(self) -> tuple[np.ndarray, np.ndarray]:
         if not self.voxels:

@@ -41,13 +41,17 @@ class System:
                  async_mapping: bool = False,
                  sensor: str = "rgbd",
                  trace_path: str | None = None,
-                 tune_gc: bool = True):
+                 tune_gc: bool = False):
         from ..utils.tracing import Tracer
 
         if tune_gc:
             # keep CPython's gen-2 collector out of the frame loop (the
             # 0.3-1.6 s pause source, PERF.md §3.1); explicit sweeps run at
-            # compaction/shutdown instead (utils.gctune)
+            # compaction/shutdown instead (utils.gctune). PROCESS-GLOBAL:
+            # gc.freeze() pins every object alive at this call and
+            # automatic gen-2 collection is disabled until untune_gc() —
+            # that is why this is opt-in (bench.py and the runner scripts
+            # enable it; an embedding application decides for itself).
             from ..utils import gctune
 
             gctune.tune_gc()
@@ -105,12 +109,17 @@ class System:
                                            self.map.kf_t[kf])
                 self._last_n_kf = self.map.n_kf
             # loop-correction / GBA gauge moves invalidate the accumulated
-            # cloud: rebuild it from the corrected keyframe poses — the
-            # reference's is_loop_ rebuild (PointCloudMapping.cc:168-176,
-            # set from LoopClosing.cc:1100-1110)
+            # cloud: schedule a rebuild from the corrected keyframe poses —
+            # the reference's is_loop_ rebuild (PointCloudMapping.cc:168-176,
+            # set from LoopClosing.cc:1100-1110) — snapshotting poses under
+            # the map lock (async workers may still be writing) and
+            # amortizing the re-accumulation over subsequent frames so the
+            # frame loop doesn't stall right after a loop closure
             if self.map.big_change_idx != self._last_cloud_change:
-                self.cloud.rebuild(self.map)
+                with self.tracker._map_lock:
+                    self.cloud.mark_dirty(self.map)
                 self._last_cloud_change = self.map.big_change_idx
+            self.cloud.step()
         return out
 
     def track_stereo(self, gray_l: np.ndarray, gray_r: np.ndarray,
@@ -276,8 +285,10 @@ class System:
         if self.cloud is not None:
             self._quiesce()
             if self.map.big_change_idx != self._last_cloud_change:
-                self.cloud.rebuild(self.map)
+                with self.tracker._map_lock:
+                    self.cloud.mark_dirty(self.map)
                 self._last_cloud_change = self.map.big_change_idx
+            self.cloud.drain()
             self.cloud.save_pcd(path)
 
 

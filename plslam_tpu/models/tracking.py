@@ -271,9 +271,11 @@ class FusedOut(NamedTuple):
     lm_visible: jax.Array    # (LM,)
     lml_feat: jax.Array      # (LL,)
     lml_inlier: jax.Array
-    stats: jax.Array         # (5,) int32: [n_motion_matches,
-                             # n_motion_inliers, n_local_inliers,
-                             # tracked_close, creatable_close]
+    stats: jax.Array         # (6,) int32: [n_motion_matches,
+                             # n_track_inliers (motion or rescue),
+                             # n_local_inliers, tracked_close,
+                             # creatable_close, n_rescue_inliers (0 when
+                             # the rescue stage didn't fire/win)]
     wire: jax.Array = None   # (B,) uint8: every host-bound result (stats,
                              # pose, bindings, the full FrameData snapshot)
                              # packed into ONE buffer so the per-frame fetch
@@ -307,7 +309,7 @@ def _wire_spec(out: "FusedOut"):
     LL = out.lml_feat.shape[0]
     N = fd.kp_valid.shape[0]
     NL = fd.ln_valid.shape[0]
-    return [((5,), np.int32), ((3, 3), np.float32), ((3,), np.float32),
+    return [((6,), np.int32), ((3, 3), np.float32), ((3,), np.float32),
             ((LM,), np.int16), ((LM,), np.bool_), ((LM,), np.bool_),
             ((LL,), np.int16), ((LL,), np.bool_),
             ((N, 2), np.float32), ((N,), np.uint8), ((N,), np.float32),
@@ -402,28 +404,64 @@ def fused_track_step(
                       prev.kp_angle, q_valid, l_ep3d, prev.ln_desc, l_valid,
                       Rg, tg)
 
+    # ---- rescue step ----------------------------------------------------
+    # TrackReferenceKeyFrame equivalent (Tracking.cc:335-337,942-1032):
+    # when the motion stage starves (no velocity prior yet, or the prior
+    # was wrong and every window missed), match the LOCAL MAP's
+    # distinctive descriptors against the whole frame with NO spatial
+    # window — the reference's BoW-binned global match, done here as one
+    # MXU popcount matmul — then LM the pose from the LAST pose (the
+    # reference seeds with mLastFrame.mTcw, not the velocity guess).
+    # lax.cond keeps the pose LM off the common path.
+    def _rescue(_):
+        gate = lm_valid[:, None] & fd.kp_valid[None, :]
+        m = matching.match_descriptors(
+            lm_desc, fd.kp_desc, gate, TH_LOW,
+            nn_ratio=cfg.matcher.nn_ratio_reloc, dedupe=True)
+        obs = _assemble_pose_obs(
+            cfg, fd, lm_p3d, lm_valid, m.idx, m.ok,
+            lml_ep3d, lml_valid, jnp.zeros((LL,), jnp.int32),
+            jnp.zeros((LL,), bool))
+        res = pose_opt.optimize_pose(cam, R_prev, t_prev, obs)
+        return (res.R, res.t, jnp.where(m.ok & res.inlier_pts, m.idx, -1),
+                m.ok & res.inlier_pts, res.n_inliers.astype(jnp.int32))
+
+    def _no_rescue(_):
+        return (mo.R, mo.t, jnp.full((LM,), -1, jnp.int32),
+                jnp.zeros((LM,), bool), jnp.int32(0))
+
+    need_rescue = mo.n_inliers < cfg.tracking.rescue_min_inliers
+    r_R, r_t, r_idx, r_ok, r_n = jax.lax.cond(
+        need_rescue, _rescue, _no_rescue, None)
+    use_rescue = need_rescue & (r_n > mo.n_inliers)
+
     # pre-bindings for local step: slot -> matched cur feature
     ok_pre = bound & mo.pt_inlier
-    pre_feat = jnp.full((LM,), -1, jnp.int32).at[
+    pre_feat_mo = jnp.full((LM,), -1, jnp.int32).at[
         jnp.where(ok_pre, slot, LM)
     ].set(mo.pt_idx, mode="drop")
+    pre_feat = jnp.where(use_rescue, jnp.where(r_ok, r_idx, -1), pre_feat_mo)
     lok_pre = lbound & mo.ln_inlier
-    lpre_feat = jnp.full((LL,), -1, jnp.int32).at[
+    lpre_feat_mo = jnp.full((LL,), -1, jnp.int32).at[
         jnp.where(lok_pre, lslot, LL)
     ].set(mo.ln_idx, mode="drop")
+    lpre_feat = jnp.where(use_rescue, -1, lpre_feat_mo)
+    R_mid = jnp.where(use_rescue, r_R, mo.R)
+    t_mid = jnp.where(use_rescue, r_t, mo.t)
+    n_track = jnp.where(use_rescue, r_n, mo.n_inliers.astype(jnp.int32))
 
     # ---- local-map step -------------------------------------------------
     lo = _local_core(cfg, fd, lm_p3d, lm_desc, lm_normal, lm_mind, lm_maxd,
                      lm_valid, pre_feat, lml_ep3d, lml_desc, lml_valid,
-                     lpre_feat, mo.R, mo.t)
+                     lpre_feat, R_mid, t_mid)
     # trust the local-map refinement only when it has real support: with
     # the local map starved (localization-only VO through a weakly-mapped
     # region — the reference SKIPS TrackLocalMap while mbVO,
     # Tracking.cc:303-335) a handful of stale or aliased map matches would
     # yank an otherwise-healthy motion/VO pose
     use_local = lo.n_inliers >= cfg.tracking.min_inliers_local_map
-    R_fin = jnp.where(use_local, lo.R, mo.R)
-    t_fin = jnp.where(use_local, lo.t, mo.t)
+    R_fin = jnp.where(use_local, lo.R, R_mid)
+    t_fin = jnp.where(use_local, lo.t, t_mid)
     lo = lo._replace(R=R_fin, t=t_fin)
 
     ok_slot = lo.pt_inlier & (lo.pt_idx >= 0)
@@ -455,8 +493,9 @@ def fused_track_step(
         lm_visible=lo.pt_visible,
         lml_feat=jnp.where(lok_slot, lo.ln_idx, -1), lml_inlier=lok_slot,
         stats=jnp.stack([
-            mo.n_pt_matches.astype(jnp.int32), mo.n_inliers.astype(jnp.int32),
+            mo.n_pt_matches.astype(jnp.int32), n_track,
             lo.n_inliers.astype(jnp.int32), tracked_close, creatable_close,
+            jnp.where(use_rescue, r_n, 0),
         ]),
     )
     return out._replace(wire=wirefmt.pack(_wire_arrays(out)))
@@ -586,6 +625,11 @@ class Tracker:
         self._ll_ids = np.zeros(0, np.int32)
         self._refresh_frame = -1  # frame id of the last local-map harvest
         self._refresh_inl = 0     # inlier baseline at that harvest
+        # measured per-frame camera-center displacement while tracking is
+        # confident (metres/frame, decayed max — see _finish); scales the
+        # short-lost relocalization gate's jump budget. None until two
+        # consecutive retired poses exist.
+        self._speed_est: float | None = None
         # host mirrors for the current/last frame
         self.last_pose: tuple[np.ndarray, np.ndarray] | None = None
         self.last_pt_ids: np.ndarray | None = None
@@ -901,21 +945,32 @@ class Tracker:
         # transient tracking failure the camera is within motion-model
         # reach of the last confident pose; a relocalization that lands
         # far away has latched onto an inconsistent (badly-drifted) sector
-        # of the map — reject it and stay LOST, the budget widens with
-        # every lost frame so genuine kidnappings still recover. (The
-        # reference accepts any reloc pose; measured here: a 34 cm drift
-        # island captured the tracker through exactly this door.)
-        if self.last_pose is not None:
+        # of the map — reject it and stay LOST. (The reference accepts any
+        # reloc pose, Tracking.cc:2049-2269; measured here: a 34 cm drift
+        # island captured the tracker through exactly this door.) The
+        # budget is scaled by the MEASURED per-frame camera speed at the
+        # time tracking was last confident — a fast camera legitimately
+        # travels multiples of any fixed metric budget per lost frame —
+        # and the gate is skipped entirely when no speed estimate exists
+        # (right after init there is nothing to predict displacement with)
+        # or in localization-only mode (the map is frozen — drift islands
+        # form during MAPPING; a kidnapped localizer must reacquire
+        # instantly, as the reference does).
+        if (self.last_pose is not None and self.n_lost_frames < 10
+                and self._speed_est is not None and not self.only_tracking):
             Rl, tl = self.last_pose
             c_new = -(np.asarray(R).T @ np.asarray(t))
             c_old = -(Rl.T @ tl)
             jump = float(np.linalg.norm(c_new - c_old))
-            budget = 0.06 + 0.025 * self.n_lost_frames
-            if jump > budget and self.n_lost_frames < 10:
+            budget = 0.06 + 3.0 * self._speed_est * (self.n_lost_frames + 1)
+            if jump > budget:
                 return False
         # the relocalized pose comes from the CURRENT map gauge; drop any
         # correction published for the abandoned pre-LOST state
         self._pending_gauge = None
+        if self.tracer.enabled:
+            self.tracer.emit("reloc", frame=int(self.frame_id), ts=timestamp,
+                             n_lost=int(self.n_lost_frames))
         self.state = OK
         self.vo_mode = False
         self.n_lost_frames = 0
@@ -980,6 +1035,7 @@ class Tracker:
         self.last_kf = -1
         self.ref_kf = -1
         self.n_lost_frames = 0
+        self._speed_est = None
         self._has_vel = jnp.asarray(False)
         self._lm_args = None
         self._pending_gauge = None
@@ -1155,10 +1211,11 @@ class Tracker:
         for dR, dt in self._corr_deltas[pending.get("epoch",
                                                     self._corr_epoch):]:
             R, t = R @ dR, R @ dt + t
-        n_mm, n_mi, n_li, tc, cc = (int(v) for v in stats)
+        n_mm, n_mi, n_li, tc, cc, n_rs = (int(v) for v in stats)
         self.debug = {
             "motion_matches": int(n_mm), "motion_inliers": int(n_mi),
             "local_inliers": int(n_li), "local_points": len(lp_ids),
+            "rescue_inliers": int(n_rs),
         }
         n_in = int(n_li)
         track_ok = int(n_mi) >= 10 and n_in >= cfg.tracking.min_inliers_local_map
@@ -1201,6 +1258,15 @@ class Tracker:
         self.map.ln_visible[ll_ids[lsel]] += 1
         self.map.ln_found[ll_ids[lsel]] += 1
 
+        if self.last_pose is not None:
+            Rl, tl = self.last_pose
+            disp = float(np.linalg.norm(-(R.T @ t) + (Rl.T @ tl)))
+            # decayed max: a momentary stop must not shrink the reloc
+            # budget below the scale of recent motion; the decay bleeds
+            # off one-frame spikes (e.g. a gauge-correction jump). Clamp
+            # keeps a pathological jump from disabling the gate for good.
+            self._speed_est = min(max(disp, 0.8 * (self._speed_est or 0.0)),
+                                  2.0)
         self.last_pose = (R, t)
         self.last_pt_ids = cur_pt_ids
         self.last_ln_ids = cur_ln_ids
@@ -1212,6 +1278,7 @@ class Tracker:
             self.tracer.emit(
                 "frame", frame=int(frame_id), ts=timestamp,
                 state=self.state, motion_inliers=int(n_mi),
+                rescue_inliers=int(n_rs),
                 local_inliers=n_in, tracked_close=int(tc),
                 points=len(lp_ids), lines=len(ll_ids),
                 kf=bool(need), n_kf=self.map.n_kf,

@@ -23,19 +23,38 @@ from __future__ import annotations
 import gc
 
 _tuned = False
+_saved_thresholds: tuple | None = None
 
 
 def tune_gc():
-    """Apply the latency policy (idempotent)."""
-    global _tuned
+    """Apply the latency policy (idempotent). PROCESS-GLOBAL: freezes every
+    object alive at this call and disables automatic gen-2 collection —
+    opt-in for that reason (System(tune_gc=True), bench.py, runners)."""
+    global _tuned, _saved_thresholds
     if _tuned:
         return
     _tuned = True
+    _saved_thresholds = gc.get_threshold()
     gc.collect()
     gc.freeze()
     # gen0 young-object burst cap; gen1 every 50 gen0 passes; gen2 never
     # automatically
     gc.set_threshold(50000, 50, 10**9)
+
+
+def untune_gc():
+    """Restore the interpreter's default GC policy (for embedders that
+    outlive the engine): thresholds back, frozen objects returned to the
+    collector, one full sweep to reclaim anything deferred."""
+    global _tuned, _saved_thresholds
+    if not _tuned:
+        return
+    _tuned = False
+    gc.unfreeze()
+    if _saved_thresholds is not None:
+        gc.set_threshold(*_saved_thresholds)
+        _saved_thresholds = None
+    gc.collect()
 
 
 def collect_old():

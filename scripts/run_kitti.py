@@ -45,7 +45,7 @@ def main():
 
     cfg = load_yaml(args.settings)
     cfg = cfg.replace(use_lines=False)  # the reference's stereo ctor has no lines
-    slam = System(cfg, enable_loop_closing=True, sensor="stereo")
+    slam = System(cfg, tune_gc=True, enable_loop_closing=True, sensor="stereo")
 
     times = np.loadtxt(os.path.join(args.sequence, "times.txt"))
     n = len(times) if not args.max_frames else min(args.max_frames, len(times))

@@ -48,7 +48,7 @@ def main():
     cfg = load_yaml(args.settings)
     if args.no_lines:
         cfg = cfg.replace(use_lines=False)
-    slam = System(cfg, enable_loop_closing=not args.no_loop,
+    slam = System(cfg, tune_gc=True, enable_loop_closing=not args.no_loop,
                   enable_dense_cloud=args.pcd,
                   async_mapping=not args.sync)
 

@@ -67,16 +67,39 @@ def test_rebuild_follows_corrected_poses():
     assert len(pcm.cloud()[0]) == 0
 
 
+def test_amortized_rebuild_steps():
+    """mark_dirty snapshots poses and clears; step() re-accumulates a
+    bounded number of keyframes per call; drain() finishes the rest."""
+    cfg = SlamConfig(camera=CAM)
+    pcm = PointCloudMapper(cfg)
+    gray, depth = _flat_depth()
+    m = FakeMap(3)
+    for k in range(3):
+        pcm.insert_keyframe(k, gray, depth, m.kf_R[k], m.kf_t[k])
+    m.kf_t[:, 2] = 0.3
+    pcm.mark_dirty(m)
+    assert len(pcm.cloud()[0]) == 0  # cleared, rebuild pending
+    pcm.step(budget=1)
+    assert pcm._rebuild_queue  # amortized: not finished in one step
+    # pose edits AFTER mark_dirty must not affect the snapshot
+    m.kf_t[:, 2] = 99.0
+    pcm.drain()
+    assert not pcm._rebuild_queue
+    pts, _ = pcm.cloud()
+    assert abs(np.median(pts[:, 2]) - 1.7) < 0.02
+
+
 def test_system_polls_big_change(monkeypatch):
     """System.track_rgbd polls map.big_change_idx (System::MapChanged
-    semantics) and rebuilds the dense cloud when a loop/GBA moved the
-    gauge."""
+    semantics) and SCHEDULES a dense-cloud rebuild (mark_dirty + amortized
+    step calls) when a loop/GBA moved the gauge — the rebuild itself is
+    spread over subsequent frames so the frame loop never stalls."""
     from plslam_tpu.models.system import System
 
     cfg = SlamConfig(camera=CAM, use_lines=False)
     slam = System(cfg, enable_loop_closing=False, enable_dense_cloud=True)
     calls = []
-    monkeypatch.setattr(slam.cloud, "rebuild",
+    monkeypatch.setattr(slam.cloud, "mark_dirty",
                         lambda m: calls.append(True))
     from plslam_tpu.utils.synthetic import RoomScene, smooth_trajectory
 

@@ -65,3 +65,44 @@ class TestRelocalization:
                 ok = True
                 break
         assert ok, "never relocalized"
+
+    def test_recovers_after_blackout_fast_camera(self):
+        """Round-4 regression guard: the short-lost relocalization gate
+        must scale its jump budget with the MEASURED camera speed. At
+        ~2x the nominal trajectory speed a fixed 6 cm budget rejects
+        every correct relocalization for 10 frames (permanent LOST); the
+        speed-scaled gate accepts it within a few frames (the reference
+        accepts any reloc pose, Tracking.cc:2049-2269)."""
+        cfg = SlamConfig(camera=CAM, use_lines=False)
+        voc = Vocabulary.load(VOC_PATH)
+        m = SlamMap(cfg)
+        kfdb = KeyFrameDatabase(voc, max_kf=cfg.capacity.max_keyframes)
+        tr = Tracker(cfg, m, local_mapper=LocalMapper(cfg, m), voc=voc,
+                     kfdb=kfdb)
+        scene = RoomScene(0)
+        poses = smooth_trajectory(30)[:15]  # ~2x faster than the slow test
+        for i in range(15):
+            g, d = scene.render(CAM, *poses[i])
+            tr.process(g, d, i / 30.0)
+        assert tr.state == OK
+        assert m.n_kf >= 2
+
+        for i in range(15, 19):  # blackout
+            g = np.full((480, 640), 120.0, np.float32)
+            d = np.zeros((480, 640), np.float32)
+            tr.process(g, d, i / 30.0)
+        assert tr.state == LOST
+
+        # return near a previously seen viewpoint: recovery must land
+        # within a handful of frames even though the jump from the last
+        # confident pose is several times the old fixed budget
+        recovered_at = None
+        for i in range(19, 27):
+            back = poses[max(10 - (i - 19) * 2, 2)]
+            g, d = scene.render(CAM, *back)
+            tr.process(g, d, i / 30.0)
+            if tr.state == OK:
+                recovered_at = i - 19
+                break
+        assert recovered_at is not None, "never relocalized at speed"
+        assert recovered_at <= 5, f"took {recovered_at} frames"

@@ -70,3 +70,35 @@ class TestEndToEnd:
         _, m, _ = run_sequence(cfg, n_frames=30)
         # fusion + culling must keep duplicates under control
         assert m.n_points() < 3000, f"{m.n_points()} points (duplicate blowup)"
+
+
+def test_post_init_self_sufficient(tmp_path):
+    """The first seconds of a sequence must not lean on relocalization:
+    the fused step's rescue stage (the TrackReferenceKeyFrame equivalent,
+    Tracking.cc:335-337,942-1032) carries any frame whose motion stage
+    starves (no velocity prior yet, ~0.15-0.3 m/frame here). Asserts ZERO
+    reloc events and >=50 motion-or-rescue inliers on every post-init
+    frame — previously the tracker silently round-tripped through
+    LOST->instant-reloc every other early frame."""
+    import json
+
+    from plslam_tpu.models.system import System
+
+    path = str(tmp_path / "trace.jsonl")
+    cfg = SlamConfig(camera=CAM, use_lines=False)
+    slam = System(cfg, enable_loop_closing=False, trace_path=path)
+    scene = RoomScene(0)
+    poses = smooth_trajectory(20)[:10]
+    for i, (R, t) in enumerate(poses):
+        g, d = scene.render(CAM, R, t)
+        slam.track_rgbd(g, d, i / 30.0)
+    slam.tracker.flush()
+    slam.shutdown()
+    recs = [json.loads(line) for line in open(path)]
+    relocs = [r for r in recs if r["kind"] == "reloc"]
+    assert not relocs, f"hidden LOST round trips: {relocs}"
+    frames = [r for r in recs if r["kind"] == "frame"]
+    assert len(frames) == 9, f"{len(frames)}/9 frames retired OK"
+    for r in frames:
+        got = max(r["motion_inliers"], r["rescue_inliers"])
+        assert got >= 50, f"frame {r['frame']}: {got} track inliers"

@@ -41,14 +41,20 @@ def test_localization_survives_weakly_mapped_region():
     n_kf = m.n_kf
     assert n_kf >= 6
 
-    # DE-MAP the middle sector: erase every landmark whose observers all
-    # lie in the middle band of keyframes — the scene stays visually rich
-    # there (temporal VO has texture) but map localization starves
+    # DE-MAP the middle sector: erase every landmark anchored in the
+    # middle band of keyframes (at most one observer outside it) — the
+    # scene stays visually rich there (temporal VO has texture) but map
+    # localization starves. "At most one outside observer" rather than
+    # strictly band-exclusive: with the rescue stage the early frames
+    # track so well that nearly every band landmark also picks up one
+    # boundary observation.
     lo, hi = n_kf // 3, 2 * n_kf // 3
     band = set(range(lo, hi + 1))
     erased = 0
     for pid in m.point_ids():
-        if m.pt_obs[pid] and set(m.pt_obs[pid]) <= band:
+        obs = m.pt_obs[pid]
+        nb = sum(1 for k in obs if k in band)
+        if obs and nb > 0 and len(obs) - nb <= 1:
             m.erase_point(pid)
             erased += 1
     assert erased > 50, f"only {erased} points in the band"
