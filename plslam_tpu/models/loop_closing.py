@@ -37,6 +37,9 @@ from ..ops import matching, hamming
 from .map import SlamMap
 
 SIM3_MATCH_MIN = 20
+# RANSAC seed bar before SearchBySim3 expansion (the ≥20 acceptance bar
+# applies to the post-expansion set, LoopClosing.cc:450-480)
+SIM3_SEED_INLIERS = 8
 LOOP_PROJ_ACCEPT = 40
 # minimum shared-point weight for a fused cross-sector pair to become an
 # essential-graph loop connection (Optimizer.cc:1131 minFeat=100; lower
@@ -94,20 +97,31 @@ class LoopCloser:
         m = self.map
         bow = self.kfdb.get_bow(kf)
         covis = set(m.covisible_keyframes(kf))
-        anchors = covis
-        if not anchors:
-            # a freshly minted island keyframe (post-discontinuity) has no
-            # covisibles, but its IMAGE still identifies the revisit — the
-            # temporal predecessors stand in for the min-score reference
-            # (DetectLoop's vpConnectedKeyFrames, LoopClosing.cc:167-185)
-            anchors = {q for q in range(max(0, kf - 3), kf)
-                       if m.kf_valid[q] and self.kfdb.has[q]}
+        # min-score floor (DetectLoop's vpConnectedKeyFrames minimum,
+        # LoopClosing.cc:167-185). The floor statistic needs baseline
+        # VARIETY: at sequence scale the reference's connected set spans
+        # wide baselines, but a tight revisit tail can leave only 1-2
+        # near-duplicate covisibles whose mutual similarity sets an
+        # unreachably high floor (no genuine loop candidate can look as
+        # similar as the immediately previous frame). Recent temporal
+        # keyframes are connected views too (spanning-tree edges), so they
+        # join the floor statistic; an island keyframe (post-discontinuity,
+        # no covisibles at all) falls back to them entirely.
+        anchors = set(covis)
+        anchors |= {q for q in range(max(0, kf - 5), kf)
+                    if m.kf_valid[q] and self.kfdb.has[q]}
         if not anchors:
             return []
         scores = self.kfdb.score_all(bow)
         min_score = min(scores[c] for c in anchors)
+        # candidate exclusion: the covisible set (KeyFrameDatabase.cc:
+        # 129-141) plus a temporal recency window — loops connect to the
+        # DISTANT past; without the window, a lowered floor could surface
+        # the current sector's own recent keyframes as candidates when a
+        # discontinuity has cut their covisibility links
+        exclude = covis | {q for q in range(max(0, kf - 10), kf + 1)}
         cands = self.kfdb.detect_loop_candidates(
-            kf, bow, float(min_score), covis | {kf}, m
+            kf, bow, float(min_score), exclude, m
         )
         # group-connectivity gate: if the current covisibility GROUP is
         # already strongly connected to the candidate's group, the revisit
@@ -191,28 +205,112 @@ class LoopCloser:
             jax.random.PRNGKey(kf1), thresh=0.10,
             with_scale=not self.cfg.loop.fix_scale,
         )
-        if int(n_inl) < self.cfg.loop.sim3_min_inliers:
+        # a small but coherent seed is enough to bootstrap the expansion
+        # stage below (the reference's Sim3Solver also iterates from tiny
+        # minimal sets; the ≥20 bar is applied AFTER SearchBySim3 grows
+        # the correspondence set, LoopClosing.cc:450-480)
+        if int(n_inl) < SIM3_SEED_INLIERS:
             return None
-        # Sim3 LM refinement on bidirectional reprojection
-        # (Optimizer::OptimizeSim3, Optimizer.cc:1400-1659)
+        # SearchBySim3 expansion (ORBmatcher::SearchBySim3, /root/
+        # reference/src/ORBmatcher.cc:1441-1599; driven by the
+        # ComputeSim3 iterate loop LoopClosing.cc:450-480): project kf2's
+        # landmarks into kf1's image with the current transform estimate
+        # and harvest descriptor matches the appearance-only ratio test
+        # missed — narrow view overlap or culled intermediate keyframes
+        # leave the initial set thin, and the ≥20 acceptance is meant to
+        # count the EXPANDED set. Two rounds: wide radius from the Kabsch
+        # seed, tighter radius from the reprojection-refined similarity.
+        # The harvest matches against min(single-view feature descriptor,
+        # multi-view distinctive landmark descriptor) — the reference's
+        # SearchBySim3 uses MapPoint::GetDescriptor for the same reason
+        # (wide-baseline repeatability).
         h1 = m.kf_frames[kf1]
         h2 = m.kf_frames[kf2]
-        feats1 = np.nonzero(ok)[0][:N]
-        feats2 = idx[feats1]
-        uv1 = np.zeros((N, 2), np.float32)
-        uv2 = np.zeros((N, 2), np.float32)
-        uv1[: len(feats1)] = h1.kp_xy_un[feats1]
-        uv2[: len(feats1)] = h2.kp_xy_un[feats2]
-        s_r, R_r, t_r, s_inl, s_n = horn.refine_sim3(
-            self.cfg.camera, s, R12, t12,
-            jnp.asarray(dst), jnp.asarray(uv1),
-            jnp.asarray(src), jnp.asarray(uv2),
-            jnp.asarray(val),
-            with_scale=not self.cfg.loop.fix_scale,
-        )
-        if int(s_n) >= self.cfg.loop.sim3_min_inliers:
-            s, R12, t12 = s_r, R_r, t_r
-        s12 = float(s)
+        cam = self.cfg.camera
+        with self.lock:
+            pt_desc2 = m.point_desc_arena()[
+                jnp.asarray(np.clip(p2, 0, None))]
+        dist_min = jnp.minimum(
+            dist, hamming.hamming_matrix(d1.kp_desc, pt_desc2))
+        x2_all = m.pt_pos[np.clip(p2, 0, None)] @ m.kf_R[kf2].T \
+            + m.kf_t[kf2]
+        s_n = 0
+        for rnd, rad in ((1, 15.0), (2, 9.0)):
+            s0 = float(np.asarray(s))
+            R0 = np.asarray(R12)
+            t0 = np.asarray(t12)
+            x1_pred = s0 * (x2_all @ R0.T) + t0
+            z = x1_pred[:, 2]
+            uv_pred = np.stack([
+                cam.fx * x1_pred[:, 0] / np.maximum(z, 1e-6) + cam.cx,
+                cam.fy * x1_pred[:, 1] / np.maximum(z, 1e-6) + cam.cy,
+            ], -1)
+            pix_d = np.linalg.norm(
+                h1.kp_xy_un[:, None, :] - uv_pred[None, :, :], axis=-1)
+            gate2 = (has1[:, None] & has2[None, :] & (z > 0.1)[None, :]
+                     & (pix_d < rad))
+            mm2 = matching.best_matches(dist_min, jnp.asarray(gate2),
+                                        max_dist=50)
+            mm2 = matching.dedupe_targets(mm2, len(p2))
+            ok2 = np.asarray(mm2.ok)
+            idx2 = np.asarray(mm2.idx)
+            # merge: earlier (ratio-test / prior-round) matches win
+            grown = ok2 & ~ok
+            ok = ok | grown
+            idx = np.where(grown, idx2, idx)
+            w1 = m.pt_pos[p1[ok]]
+            w2 = m.pt_pos[p2[idx[ok]]]
+            x1 = w1 @ m.kf_R[kf1].T + m.kf_t[kf1]
+            x2 = w2 @ m.kf_R[kf2].T + m.kf_t[kf2]
+            src = np.zeros((N, 3), np.float32)
+            dst = np.zeros((N, 3), np.float32)
+            val = np.zeros(N, bool)
+            k = min(len(x1), N)
+            src[:k] = x2[:k]
+            dst[:k] = x1[:k]
+            val[:k] = True
+            s, R12, t12, inl, n_inl = horn.ransac_align(
+                jnp.asarray(src), jnp.asarray(dst), jnp.asarray(val),
+                jax.random.fold_in(jax.random.PRNGKey(kf1), rnd),
+                thresh=0.10, with_scale=not self.cfg.loop.fix_scale,
+            )
+            # the 0.10 m 3D gate is stricter than the reference's
+            # Sim3Solver (CheckInliers is bidirectional REPROJECTION,
+            # Sim3Solver.cc:200-260, tolerant of the drift field's depth
+            # nonrigidity) — the ≥20 acceptance applies to reprojection
+            # inliers below; here only the seed bar
+            if int(n_inl) < SIM3_SEED_INLIERS:
+                return None
+            # Sim3 LM refinement on bidirectional reprojection
+            # (Optimizer::OptimizeSim3, Optimizer.cc:1400-1659)
+            feats1 = np.nonzero(ok)[0][:N]
+            feats2 = idx[feats1]
+            uv1 = np.zeros((N, 2), np.float32)
+            uv2 = np.zeros((N, 2), np.float32)
+            uv1[: len(feats1)] = h1.kp_xy_un[feats1]
+            uv2[: len(feats1)] = h2.kp_xy_un[feats2]
+            s_r, R_r, t_r, s_inl, s_n = horn.refine_sim3(
+                cam, s, R12, t12,
+                jnp.asarray(dst), jnp.asarray(uv1),
+                jnp.asarray(src), jnp.asarray(uv2),
+                jnp.asarray(val),
+                with_scale=not self.cfg.loop.fix_scale,
+            )
+            if int(s_n) >= max(SIM3_SEED_INLIERS, int(n_inl)):
+                s, R12, t12 = s_r, R_r, t_r
+        # acceptance (OptimizeSim3's nInliers >= 20, LoopClosing.cc:480):
+        # reprojection inliers of the refined similarity, or the 3D-3D
+        # Kabsch count if that was already decisive. A slightly-under
+        # count (>= 0.75x) may PROCEED — the neighborhood-projection
+        # verification below (the reference's own final >= 40 bar) is a
+        # far stronger test than a couple of extra pair inliers, and a
+        # sparse surviving-keyframe graph (wide culling at a revisit) can
+        # leave a genuine loop with a thin direct-pair pool
+        n_sim3 = max(int(s_n), int(n_inl))
+        if n_sim3 < int(0.75 * self.cfg.loop.sim3_min_inliers):
+            return None
+        strict_sim3 = n_sim3 >= self.cfg.loop.sim3_min_inliers
+        s12 = float(np.asarray(s))
         R12 = np.asarray(R12)
         t12 = np.asarray(t12)
 
@@ -242,12 +340,17 @@ class LoopCloser:
         valid[:k] = True
         pid_pad[:k] = pids[:k]
         desc = m.point_desc_arena()[jnp.asarray(pid_pad)]
+        # radius 10*scale: the reference's loop verification projector is
+        # WIDER than fusion's (matcher.SearchByProjection(..., Scw, ..., 10)
+        # at LoopClosing.cc:575 vs Fuse's th=3) — the Sim3 estimate carries
+        # more error than a tracked pose
         fidx, fok = fuse_step(
             self.cfg,
             d1.kp_xy_un, d1.kp_octave, d1.kp_desc, d1.kp_valid,
             jnp.asarray(p3d), desc, jnp.asarray(mind),
             jnp.asarray(maxd), jnp.asarray(valid),
             jnp.asarray(Rc), jnp.asarray(tc),
+            radius_px=10.0,
         )
         n_proj = int(np.asarray(fok)[:k].sum())
         # line verification (EXCEEDS the reference — LoopClosing.cc is
@@ -261,6 +364,11 @@ class LoopCloser:
         if n_proj < LOOP_PROJ_ACCEPT and not (
                 n_proj >= int(0.7 * LOOP_PROJ_ACCEPT)
                 and n_line >= LOOP_LINE_ACCEPT):
+            return None
+        if not strict_sim3 and n_proj < 2 * LOOP_PROJ_ACCEPT \
+                and n_line < LOOP_LINE_ACCEPT:
+            # an under-strength Sim3 set needs OVERWHELMING projection
+            # support (or corroborating line structure) to be believed
             return None
         return R12, t12, s12, n_match
 
@@ -345,10 +453,13 @@ class LoopCloser:
                             and m.kf_valid[o]):
                         loop_conns.append((o, g))
 
-        # essential-graph optimization (Optimizer.cc:1064-1399 semantics)
+        # essential-graph optimization (Optimizer.cc:1064-1399 semantics);
+        # group_scale lets the 7-dof (mono) branch rebuild the corrected
+        # group's true Sim3 nodes from the scale-folded SE3 write-back
         self._optimize_essential_graph(kf1, kf2, set(group),
                                        R_before, t_before,
-                                       loop_conns=loop_conns)
+                                       loop_conns=loop_conns,
+                                       group_scale=s12)
 
         # global BA (the reference spawns a GBA thread; here the stepped,
         # abortable BA runs on whichever thread called us — the async
@@ -356,6 +467,7 @@ class LoopCloser:
         if self.enable_gba:
             self._global_ba(kf1)
         with self.lock:
+            m.loop_edges.append((kf2, kf1))  # KeyFrame::AddLoopEdge
             m.big_change_idx += 1
             if self.tracker is not None:
                 # publish the rigid gauge delta D = T1_old^-1 . T1_final so
@@ -494,39 +606,55 @@ class LoopCloser:
 
     def _optimize_essential_graph(self, kf1: int, kf2: int, group: set[int],
                                   R_before=None, t_before=None,
-                                  loop_conns=None):
+                                  loop_conns=None, group_scale=1.0):
         """Essential-graph pose optimization. ``R_before/t_before``: poses
         snapshotted BEFORE the loop propagation — tree/covisibility edge
         measurements come from them (the reference's NonCorrectedSim3,
-        Optimizer.cc:1180-1260); only the loop edge uses corrected poses."""
+        Optimizer.cc:1180-1260); only the loop edge uses corrected poses.
+        ``group_scale``: the Sim3 correction's scale (mono loops; 1 for
+        RGB-D/stereo). The map stores the corrected group as scale-folded
+        SE3 ([R | t/s], CorrectedSim3 write-back); the 7-dof solver needs
+        the TRUE Sim3 nodes [s, R, s*t_folded] or every intra-group edge
+        residual is off by the fold factor."""
         from ..optim import pose_graph
 
         m = self.map
         with self.lock:
             K = m.n_kf
-            built = self._build_essential_problem(
+            built, s_node, s_meas = self._build_essential_problem(
                 pose_graph, kf1, kf2, K, R_before, t_before,
-                loop_conns or [])
+                loop_conns or [], group=group, group_scale=group_scale)
         prob = built
         if self.cfg.loop.fix_scale:
             Rn, tn = pose_graph.optimize_pose_graph(
                 prob, iters=self.cfg.loop.essential_graph_iters
             )
             sn = np.ones(Rn.shape[0], np.float32)
+            s_old = None
         else:
             # monocular: 7-dof nodes absorb scale drift
-            # (OptimizeEssentialGraph fix_scale=false, Optimizer.cc:1135)
+            # (OptimizeEssentialGraph fix_scale=false, Optimizer.cc:1135);
+            # corrected-group nodes enter at their true Sim3 (scale
+            # group_scale, unfolded translation) — the reference keeps
+            # vScw's non-unit scale for exactly these nodes
+            # (Optimizer.cc:1135-1160 CorrectedSim3 initialization)
+            t_init = np.array(prob.t)
+            gl = [k for k in group if k < K]
+            t_init[gl] = t_init[gl] * group_scale
             sprob = pose_graph.make_sim3_problem(prob.R.shape[0],
                                                  prob.ei.shape[0])
             sprob = sprob._replace(
-                R=prob.R, t=prob.t, fixed=prob.fixed, valid=prob.valid,
+                R=prob.R, t=jnp.asarray(t_init), s=jnp.asarray(s_node),
+                fixed=prob.fixed, valid=prob.valid,
                 ei=prob.ei, ej=prob.ej, R_meas=prob.R_meas,
-                t_meas=prob.t_meas, w=prob.w, e_valid=prob.e_valid,
+                t_meas=prob.t_meas, s_meas=jnp.asarray(s_meas),
+                w=prob.w, e_valid=prob.e_valid,
             )
             Rn, tn, sn = pose_graph.optimize_pose_graph_sim3(
                 sprob, iters=self.cfg.loop.essential_graph_iters
             )
             sn = np.asarray(sn)
+            s_old = s_node[:K]
         Rn = np.asarray(Rn)
         tn = np.asarray(tn)
         with self.lock:
@@ -538,11 +666,18 @@ class LoopCloser:
             for k in range(K):
                 if m.kf_valid[k]:
                     m.set_kf_pose(k, Rn[k], tn[k] / sn[k])
-            self._transport_landmarks(K, old_R, old_t, Rn, tn, sn)
+            self._transport_landmarks(K, old_R, old_t, Rn, tn, sn,
+                                      s_old=s_old)
             self._correct_appended_kfs(K, old_R, old_t)
 
     def _build_essential_problem(self, pose_graph, kf1, kf2, K,
-                                 R_before, t_before, loop_conns=()):
+                                 R_before, t_before, loop_conns=(),
+                                 group=(), group_scale=1.0):
+        """Returns (SE3 problem, node scales, edge scale measurements).
+        Node scales are 1 except the corrected group under a mono (scaled)
+        correction; edge scale measurements follow: pre-correction odometry
+        edges are scale-1, corrected-pose edges between nodes of scales
+        (s_i, s_j) measure s_i/s_j (Sim3 relative S_i * S_j^-1)."""
         m = self.map
         conn_set = {frozenset(p) for p in loop_conns}
         if R_before is None:
@@ -583,6 +718,14 @@ class LoopCloser:
         for (a, b) in loop_conns:
             if m.kf_valid[a] and m.kf_valid[b] and a < K and b < K:
                 edges.append((a, b, 2.0, True))
+        # previous loops' edges (KeyFrame::mspLoopEdges, persisted in
+        # SlamMap.loop_edges; Optimizer.cc:1270-1290): re-asserted on every
+        # later essential-graph run, measured from current poses — the map
+        # was made consistent across them when they closed
+        for (a, b) in m.loop_edges:
+            if (a < K and b < K and m.kf_valid[a] and m.kf_valid[b]
+                    and {a, b} != {kf1, kf2}):
+                edges.append((a, b, 5.0, True))
         # the loop edge
         edges.append((kf2, kf1, 5.0, True))
         E = len(edges)
@@ -607,6 +750,10 @@ class LoopCloser:
         tm = np.array(prob.t_meas)
         w = np.zeros(ECAP, np.float32)
         ev = np.zeros(ECAP, bool)
+        s_node = np.ones(KCAP, np.float32)
+        if group_scale != 1.0:
+            s_node[[k for k in group if k < K]] = group_scale
+        s_meas = np.ones(ECAP, np.float32)
         for n, (i, j, wt, use_cur) in enumerate(edges):
             ei[n] = i
             ej[n] = j
@@ -619,6 +766,13 @@ class LoopCloser:
             tji = -Rji @ ts_[j]
             Rm[n] = Rs[i] @ Rji
             tm[n] = Rs[i] @ tji + ts_[i]
+            if use_cur:
+                # corrected poses are scale-folded SE3; the true Sim3
+                # relative S_i * S_j^-1 has scale s_i/s_j and translation
+                # s_i * tm_SE3 (both reduce to the SE3 values when the
+                # correction is rigid)
+                s_meas[n] = s_node[i] / s_node[j]
+                tm[n] *= s_node[i]
             w[n] = wt
             ev[n] = True
         return prob._replace(
@@ -627,26 +781,30 @@ class LoopCloser:
             ei=jnp.asarray(ei), ej=jnp.asarray(ej),
             R_meas=jnp.asarray(Rm), t_meas=jnp.asarray(tm),
             w=jnp.asarray(w), e_valid=jnp.asarray(ev),
-        )
+        ), s_node, s_meas
 
-    def _transport_landmarks(self, K, old_R, old_t, Rn, tn, sn):
+    def _transport_landmarks(self, K, old_R, old_t, Rn, tn, sn, s_old=None):
         """Move every landmark rigidly with its first (reference) keyframe's
         pose update (CorrectLoop's per-point Sim3 transport) — vectorized
-        batched 3x3 einsums instead of the reference's per-point walk."""
+        batched 3x3 einsums instead of the reference's per-point walk.
+        ``s_old``: pre-solve node scales (mono; the stored old poses are
+        scale-folded SE3, so true camera coords are s_old * (R x + t))."""
         m = self.map
+        if s_old is None:
+            s_old = np.ones(K, np.float32)
         pids = m.point_ids()
         if len(pids):
             rk = np.clip(m.pt_first_kf[pids], 0, K - 1)
-            pc = np.einsum("nij,nj->ni", old_R[rk], m.pt_pos[pids]) \
-                + old_t[rk]
+            pc = (np.einsum("nij,nj->ni", old_R[rk], m.pt_pos[pids])
+                  + old_t[rk]) * s_old[rk, None]
             m.pt_pos[pids] = np.einsum(
                 "nji,nj->ni", Rn[rk], (pc - tn[rk]) / sn[rk, None])
         lids = m.line_ids()
         if len(lids):
             rk = np.clip(m.ln_first_kf[lids], 0, K - 1)
             for i in (0, 1):
-                pc = np.einsum("nij,nj->ni", old_R[rk], m.ln_ep[lids, i]) \
-                    + old_t[rk]
+                pc = (np.einsum("nij,nj->ni", old_R[rk], m.ln_ep[lids, i])
+                      + old_t[rk]) * s_old[rk, None]
                 m.ln_ep[lids, i] = np.einsum(
                     "nji,nj->ni", Rn[rk], (pc - tn[rk]) / sn[rk, None])
 

@@ -69,6 +69,11 @@ class SlamMap:
         # and by erase-time reparenting
         self.kf_parent = np.full(cap.max_keyframes, -1, np.int32)
         self.kf_children: list[set[int]] = [set() for _ in range(cap.max_keyframes)]
+        # persistent loop edges (KeyFrame::mspLoopEdges, KeyFrame.cc:
+        # 491-502): every closed loop's (loop_kf, current_kf) pair; later
+        # essential-graph runs must keep re-asserting old loop constraints
+        # (Optimizer.cc:1270-1290) or a second correction can tear them
+        self.loop_edges: list[tuple[int, int]] = []
         # cull chain for trajectory healing (KeyFrame::mTcp, KeyFrame.cc:
         # SetBadFlag tail): when a keyframe is culled, its pose relative to
         # its then-parent is frozen here so frames referenced to it can be

@@ -33,6 +33,7 @@ def reloc_candidate_step(
     cfg: SlamConfig,
     fd: FrameData,
     kf_desc: jax.Array,    # (N, 32) candidate KF descriptors
+    kf_angle: jax.Array,   # (N,) candidate KF keypoint angles (degrees)
     kf_has_pt: jax.Array,  # (N,) feature has a valid map point
     kf_pt_w: jax.Array,    # (N, 3) world position of that map point
     key: jax.Array,
@@ -44,11 +45,14 @@ def reloc_candidate_step(
     cam = cfg.camera
     # dense ratio-test matching over ALL valid current features — depthless
     # ones still vote through the EPnP branch (the reference's solver is
-    # 3D-2D EPnP throughout, Tracking.cc:2105-2131)
+    # 3D-2D EPnP throughout, Tracking.cc:2105-2131). Rotation-consistency
+    # histogram on: the reference's reloc SearchByBoW runs with
+    # mbCheckOrientation (ORBmatcher.cc:247-421 via Tracking.cc:2090).
     gate = fd.kp_valid[:, None] & kf_has_pt[None, :]
     m = matching.match_descriptors(
         fd.kp_desc, kf_desc, gate, 100,
-        nn_ratio=cfg.matcher.nn_ratio_reloc, dedupe=True,
+        nn_ratio=cfg.matcher.nn_ratio_reloc,
+        angle_q=fd.kp_angle, angle_t=kf_angle, dedupe=True,
     )
     ok = m.ok
     tgt = jnp.clip(m.idx, 0, kf_desc.shape[0] - 1)
@@ -100,9 +104,10 @@ def try_relocalize(tracker, fd: FrameData):
         has = (pids >= 0) & m.pt_valid[np.clip(pids, 0, None)] & host.kp_valid
         ptw = np.zeros((len(pids), 3), np.float32)
         ptw[has] = m.pt_pos[pids[has]]
+        dkf = m.device_frame(kf)  # descriptors/angles stay in HBM
         R, t, idx, inl, n = reloc_candidate_step(
             tracker.cfg, fd,
-            m.device_frame(kf).kp_desc,  # descriptors stay in HBM
+            dkf.kp_desc, dkf.kp_angle,
             jnp.asarray(has), jnp.asarray(ptw),
             jax.random.fold_in(key, ci),
         )

@@ -56,6 +56,15 @@ class System:
 
             gctune.tune_gc()
 
+        if sensor == "mono" and cfg.loop.fix_scale:
+            # monocular scale is unobservable: loop corrections estimate a
+            # full Sim3 and the essential graph runs 7-dof so scale drift
+            # can be absorbed (mbFixScale = sensor != MONOCULAR,
+            # LoopClosing ctor /root/reference/src/LoopClosing.cc:37-43,
+            # OptimizeEssentialGraph fix_scale=false Optimizer.cc:1135)
+            import dataclasses as _dc
+
+            cfg = cfg.replace(loop=_dc.replace(cfg.loop, fix_scale=False))
         self.cfg = cfg
         self.sensor = sensor  # System eSensor (System.h:58-66)
         self.tracer = Tracer(trace_path)

@@ -1605,15 +1605,17 @@ class Tracker:
         )
         Rwc = R.T
         c = -Rwc @ t
-        for feat in np.nonzero(cand)[0]:
-            ep_w = np.zeros((2, 3), np.float32)
-            for k in (0, 1):
-                pc = _backproject_np(cam, host.ln_ep_un[feat, k : k + 1],
-                                     host.ln_depth[feat, k : k + 1])[0]
-                ep_w[k] = Rwc @ pc + c
-            lid = self.map.add_line(ep_w, None, kf)
-            self.map.add_line_obs(lid, kf, int(feat))
-            out[feat] = lid
+        feats = np.nonzero(cand)[0]
+        if len(feats):
+            # batched endpoint unprojection (one einsum for all candidates;
+            # only the arena-slot bookkeeping stays per-line)
+            pc = _backproject_np(cam, host.ln_ep_un[feats].reshape(-1, 2),
+                                 host.ln_depth[feats].reshape(-1))
+            ep_w = (pc @ Rwc.T + c).reshape(-1, 2, 3).astype(np.float32)
+            for i, feat in enumerate(feats):
+                lid = self.map.add_line(ep_w[i], None, kf)
+                self.map.add_line_obs(lid, kf, int(feat))
+                out[feat] = lid
         return out
 
 

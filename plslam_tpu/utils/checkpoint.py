@@ -54,6 +54,7 @@ def save_map(m: SlamMap, path: str):
     data["ln_desc"] = np.asarray(jax.device_get(m.line_desc_arena()))
     data["pt_obs"] = _obs_triples(m.pt_obs, m._pt_next)
     data["ln_obs"] = _obs_triples(m.ln_obs, m._ln_next)
+    data["loop_edges"] = np.array(m.loop_edges, np.int64).reshape(-1, 2)
     # keyframe feature snapshots (device copy preferred: the wire-built host
     # snapshots zero-fill device-only fields)
     kfs = [k for k in range(m.n_kf) if m.kf_valid[k]]
@@ -88,6 +89,8 @@ def load_map(cfg, path: str) -> SlamMap:
 
     m._pt_desc_dev = jnp.asarray(m.pt_desc)
     m._ln_desc_dev = jnp.asarray(m.ln_desc)
+    if "loop_edges" in z:
+        m.loop_edges = [(int(a), int(b)) for a, b in z["loop_edges"]]
     for i, kf, feat in z["pt_obs"]:
         m.pt_obs[i][int(kf)] = int(feat)
     for i, kf, feat in z["ln_obs"]:

@@ -42,28 +42,72 @@ ORBextractor.minThFAST: 7
 """
 
 
-def orbit_trajectory(n: int, radius: float = 0.45):
-    """Full-turn orbit with a sustained revisit tail (the loopy-sequence
-    generator: the camera yaws a complete revolution by frame ``n - 30``
-    and re-observes the start — the reference's golden artifact is a loopy
-    fr1_room run, results/CameraTrajectory.txt)."""
+def orbit_trajectory(n: int, radius: float = 0.45, laps: float = 1.0):
+    """Orbit with a sustained revisit tail (the loopy-sequence generator:
+    the camera yaws ``laps`` complete revolutions by frame ``n - 30`` and
+    re-observes the start — the reference's golden artifact is a loopy
+    fr1_room run, results/CameraTrajectory.txt). With laps > 1 the path
+    also bobs vertically and breathes in radius so successive laps are
+    near-but-not-identical views, like a handheld walk-around."""
     import jax.numpy as jnp
 
     from plslam_tpu.geometry import se3
 
     poses = []
     for i in range(n):
-        a = 2 * np.pi * i / max(n - 30, 1)
+        a = 2 * np.pi * laps * i / max(n - 30, 1)
+        r_i = radius * (1.0 + 0.12 * np.sin(0.7 * a)) if laps > 1 else radius
+        y_i = 0.06 * np.sin(1.3 * a) if laps > 1 else 0.0
         c = np.array(
-            [radius * np.sin(a), 0.0, 1.25 + radius * np.cos(a)], np.float32)
+            [r_i * np.sin(a), y_i, 1.25 + r_i * np.cos(a)], np.float32)
         Rwc = np.asarray(se3.so3_exp(jnp.asarray([0.0, a, 0.0], jnp.float32)))
         R = Rwc.T.astype(np.float32)
         poses.append((R, (-R @ c).astype(np.float32)))
     return poses
 
 
+def degrade(gray, depth, rng, blur_len: float = 0.0):
+    """Sensor-realism degradation (the gap between rendered frames and the
+    Kinect data of the reference's golden artifact):
+
+    - photometric: per-frame gain/bias flicker + Gaussian shot noise
+    - motion blur: linear kernel along the image-motion direction,
+      length ~ angular rate (the orbit is a pure-yaw pan: horizontal)
+    - depth: Kinect-style quadratic range noise, holes at depth edges
+      (occlusion boundaries) and random dropout blobs, zeros outside the
+      valid range — matching TUM depth PNGs where 0 = no measurement
+    """
+    import cv2
+
+    g = gray.astype(np.float32)
+    if blur_len >= 1.0:
+        k = int(min(9, 2 * round(blur_len / 2) + 1))
+        kern = np.zeros((1, k), np.float32)
+        kern[0, :] = 1.0 / k
+        g = cv2.filter2D(g, -1, kern)
+    gain = 1.0 + rng.normal(0.0, 0.03)
+    bias = rng.normal(0.0, 2.0)
+    g = g * gain + bias + rng.normal(0.0, 2.5, g.shape)
+    g = np.clip(g, 0, 255)
+
+    d = depth.astype(np.float32).copy()
+    d *= 1.0 + rng.normal(0.0, 0.004, d.shape) * np.clip(d, 0.5, 10.0)
+    gx = np.abs(np.diff(d, axis=1, prepend=d[:, :1]))
+    gy = np.abs(np.diff(d, axis=0, prepend=d[:1]))
+    edge = (gx + gy) > 0.15  # occlusion boundaries lose measurement
+    d[edge] = 0.0
+    for _ in range(rng.integers(2, 6)):  # dropout blobs
+        cx, cy = rng.integers(0, d.shape[1]), rng.integers(0, d.shape[0])
+        rr = int(rng.integers(4, 18))
+        yy, xx = np.ogrid[:d.shape[0], :d.shape[1]]
+        d[(xx - cx) ** 2 + (yy - cy) ** 2 < rr * rr] = 0.0
+    d[(d < 0.3) | (d > 12.0)] = 0.0
+    return g, d
+
+
 def generate(out: str, n_frames: int = 60, seed: int = 0,
-             fps: float = 30.0, orbit: bool = False) -> None:
+             fps: float = 30.0, orbit: bool = False, laps: float = 1.0,
+             realism: bool = False) -> None:
     import cv2
     import jax.numpy as jnp
 
@@ -74,10 +118,14 @@ def generate(out: str, n_frames: int = 60, seed: int = 0,
 
     cam = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5, bf=40.0)
     scene = RoomScene(seed)
+    rng = np.random.default_rng(seed + 1)
     if orbit:
-        poses = orbit_trajectory(n_frames)
+        poses = orbit_trajectory(n_frames, laps=laps)
+        # pure-yaw pan: blur length ~ angular rate in px/frame at center
+        blur_len = 525.0 * 2 * np.pi * laps / max(n_frames - 30, 1)
     else:
         poses = smooth_trajectory(2 * n_frames)[:n_frames]
+        blur_len = 1.0
     os.makedirs(os.path.join(out, "rgb"), exist_ok=True)
     os.makedirs(os.path.join(out, "depth"), exist_ok=True)
     factor = 5000.0
@@ -87,6 +135,8 @@ def generate(out: str, n_frames: int = 60, seed: int = 0,
                 "# timestamp tx ty tz qx qy qz qw"]
     for i, (R, t) in enumerate(poses):
         gray, depth = scene.render(cam, R, t)
+        if realism:
+            gray, depth = degrade(gray, depth, rng, blur_len=blur_len)
         ts = t0 + i / fps
         rgb_name = f"rgb/{ts:.6f}.png"
         depth_name = f"depth/{ts:.6f}.png"
@@ -118,8 +168,13 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--orbit", action="store_true",
                     help="full-turn revisit trajectory (loopy sequence)")
+    ap.add_argument("--laps", type=float, default=1.0,
+                    help="orbit revolutions (loop revisits per lap)")
+    ap.add_argument("--realism", action="store_true",
+                    help="photometric noise + motion blur + depth holes")
     args = ap.parse_args()
-    generate(args.out, args.frames, args.seed, orbit=args.orbit)
+    generate(args.out, args.frames, args.seed, orbit=args.orbit,
+             laps=args.laps, realism=args.realism)
 
 
 if __name__ == "__main__":

@@ -35,6 +35,10 @@ def main():
                     help="run mapping + loop closing synchronously in the "
                          "frame loop (default: async workers, the "
                          "reference's thread architecture — System.cc:86-118)")
+    ap.add_argument("--compact-every", type=int, default=0,
+                    help="reclaim erased landmark arena slots every N "
+                         "frames (unbounded-run support; System.compact_map"
+                         " drains the pipeline at a safe point first)")
     ap.add_argument("--save-raw", action="store_true",
                     help="also save the AS-TRACKED (unhealed) trajectory "
                          "as CameraTrajectoryRaw.txt for healed-vs-raw "
@@ -87,6 +91,8 @@ def main():
                   f"kfs={slam.map.n_kf} pts={slam.map.n_points()} "
                   f"lines={slam.map.n_lines()} "
                   f"median {np.median(times)*1000:.1f} ms/frame", flush=True)
+        if args.compact_every and n % args.compact_every == 0:
+            slam.compact_map()
         if args.max_frames and n >= args.max_frames:
             break
 

@@ -33,6 +33,14 @@ def main():
     ap.add_argument("--out", default="vocab_synth.npz")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (default: use the fastest backend)")
+    ap.add_argument("--augment", type=int, default=0,
+                    help="grow the corpus to this many descriptors by "
+                         "bit-flip jitter of extracted ones (~8/256 bits, "
+                         "the cross-view descriptor noise level) — ORBvoc-"
+                         "scale (10^6-word) training needs a corpus larger "
+                         "than this environment can render in-budget")
+    ap.add_argument("--corpus-cache", default=None,
+                    help="npy path: save/reuse the extracted corpus")
     args = ap.parse_args()
 
     import jax
@@ -50,18 +58,31 @@ def main():
 
     cam = Camera(fx=525.0, fy=525.0, cx=319.5, cy=239.5)
     cfg = OrbConfig()
-    descs = []
-    for seed in range(args.scenes):
-        scene = RoomScene(seed)
-        amp = 0.5 + 0.5 * (seed % 4) / 3
-        for R, t in smooth_trajectory(args.frames, amplitude=amp):
-            g, _ = scene.render(cam, R, t)
-            f = orb.extract_orb(jnp.asarray(g), cfg, (480, 640))
-            v = np.asarray(f.valid)
-            descs.append(np.asarray(f.desc)[v])
-        if (seed + 1) % 10 == 0:
-            print(f"scene {seed + 1}/{args.scenes}", flush=True)
-    corpus = np.concatenate(descs)
+    if args.corpus_cache and os.path.exists(args.corpus_cache):
+        corpus = np.load(args.corpus_cache)
+        print(f"corpus (cached): {corpus.shape[0]}", flush=True)
+    else:
+        descs = []
+        for seed in range(args.scenes):
+            scene = RoomScene(seed)
+            amp = 0.5 + 0.5 * (seed % 4) / 3
+            for R, t in smooth_trajectory(args.frames, amplitude=amp):
+                g, _ = scene.render(cam, R, t)
+                f = orb.extract_orb(jnp.asarray(g), cfg, (480, 640))
+                v = np.asarray(f.valid)
+                descs.append(np.asarray(f.desc)[v])
+            if (seed + 1) % 10 == 0:
+                print(f"scene {seed + 1}/{args.scenes}", flush=True)
+        corpus = np.concatenate(descs)
+        if args.corpus_cache:
+            np.save(args.corpus_cache, corpus)
+    if args.augment > corpus.shape[0]:
+        rng = np.random.default_rng(7)
+        extra = args.augment - corpus.shape[0]
+        base = corpus[rng.integers(0, corpus.shape[0], extra)]
+        bits = np.unpackbits(base, axis=1)
+        flips = rng.random(bits.shape) < (8.0 / 256.0)
+        corpus = np.concatenate([corpus, np.packbits(bits ^ flips, axis=1)])
     print(f"corpus: {corpus.shape[0]} descriptors", flush=True)
     voc = vocabulary.train_vocabulary(corpus, k=args.k, levels=args.levels)
     out = os.path.join(

@@ -46,7 +46,14 @@ def test_loop_closes_async_without_stalling_frame_loop():
     from tests.test_loop_closing import (
         _rel_err_vs_gt, orbit_poses, sever_and_displace)
 
+    import dataclasses as _dc
+
     cfg = SlamConfig(camera=CAM)
+    # culling off: see tests/test_loop_closing.build_system(cull=False) —
+    # the severed scenario needs the old sector's revisit-view keyframes
+    # to still exist
+    cfg = cfg.replace(mapping=_dc.replace(
+        cfg.mapping, kf_culling_redundancy=10.0))
     slam = System(cfg, enable_loop_closing=True, async_mapping=True)
     scene = RoomScene(3)
     n = 150

@@ -42,8 +42,21 @@ def orbit_poses(n, radius=0.45):
     return poses
 
 
-def build_system(use_lines=False):
+def build_system(use_lines=False, cull=True):
+    """``cull=False`` disables KeyFrameCulling — the severed-map scenarios
+    need it OFF: with the r5 frontend binding ~900 points/frame, live
+    culling removes every old keyframe whose view the revisit re-covers
+    (legitimately — the map stays connected), and the post-hoc severance
+    then leaves NO old keyframe overlapping the revisit views, a state
+    where even a ground-truth Sim3 projects <12 matches (physically
+    unclosable; measured r5). Culling policy has its own regression test
+    (test_kf_culling.py); these scenarios gate the LOOP PIPELINE."""
+    import dataclasses as _dc
+
     cfg = SlamConfig(camera=CAM, use_lines=use_lines)
+    if not cull:
+        cfg = cfg.replace(mapping=_dc.replace(
+            cfg.mapping, kf_culling_redundancy=10.0))  # never fires
     voc = Vocabulary.load(VOC_PATH)
     m = SlamMap(cfg)
     kfdb = KeyFrameDatabase(voc, max_kf=cfg.capacity.max_keyframes)
@@ -85,19 +98,32 @@ def inject_drift(m, tr, kf_cut, W_R, W_t, spare_live=True):
         m.ln_ep[lsel, i] = (m.ln_ep[lsel, i] - W_t) @ W_R
 
 
-def sever_and_displace(m, tr, kf_cut, W_R, W_t):
+def sever_and_displace(m, tr, kf_cut, W_R, W_t, s=1.0):
     """Put the map into the kidnapped-sector state loop closing exists
     for: split every landmark shared across the cut (the old sector gets
     a duplicate), drop cross-sector line observations, then displace the
     old sector by W. The sectors then share NOTHING — no covisibility, no
     fusion bridge — so only the BoW loop pipeline can reconnect them
-    (the discontinuity real long-horizon drift produces)."""
+    (the discontinuity real long-horizon drift produces).
+
+    ``s``: similarity scale of the displacement (mono scale drift). The
+    old sector stays internally self-consistent — poses become
+    [R@W_R | (R@W_t + t)/s] and landmarks (W^-1 p)/s, so reprojections
+    are unchanged (camera coords scale uniformly by 1/s) — but its metric
+    scale now disagrees with the new sector by the factor s, which only a
+    7-dof (Sim3) loop correction can heal."""
+    desc_arena = np.asarray(m.point_desc_arena())
     for pid in list(m.point_ids()):
         obs = m.pt_obs[pid]
         old_obs = {k: f for k, f in obs.items() if k < kf_cut}
         new_obs = {k: f for k, f in obs.items() if k >= kf_cut}
         if old_obs and new_obs:
-            dup = m.add_point(m.pt_pos[pid].copy(), np.zeros(32, np.uint8),
+            # the duplicate keeps the REAL distinctive descriptor: a real
+            # drifted map's landmarks are fully described — zero-desc dups
+            # would starve descriptor-gated stages (SearchAndFuse, the
+            # loop verification projector) artificially
+            dup = m.add_point(m.pt_pos[pid].copy(),
+                              desc_arena[pid].copy(),
                               m.pt_normal[pid], m.pt_min_dist[pid],
                               m.pt_max_dist[pid], min(old_obs))
             for k, f in old_obs.items():
@@ -122,14 +148,14 @@ def sever_and_displace(m, tr, kf_cut, W_R, W_t):
         if not m.kf_valid[k]:
             continue
         R, t = m.kf_R[k], m.kf_t[k]
-        m.set_kf_pose(k, R @ W_R, R @ W_t + t)
+        m.set_kf_pose(k, R @ W_R, (R @ W_t + t) / s)
     pids = m.point_ids()
     sel = pids[m.pt_first_kf[pids] < kf_cut]
-    m.pt_pos[sel] = (m.pt_pos[sel] - W_t) @ W_R
+    m.pt_pos[sel] = ((m.pt_pos[sel] - W_t) @ W_R) / s
     lids = m.line_ids()
     lsel = lids[m.ln_first_kf[lids] < kf_cut]
     for i in (0, 1):
-        m.ln_ep[lsel, i] = (m.ln_ep[lsel, i] - W_t) @ W_R
+        m.ln_ep[lsel, i] = ((m.ln_ep[lsel, i] - W_t) @ W_R) / s
 
 
 def _rel_err_vs_gt(m, tr, poses):
@@ -242,11 +268,12 @@ class TestLoopClosing:
         assert err < 0.25, f"KF0-relative pose err {err*100:.1f}cm"
 
     @staticmethod
-    def _severed_map(n=150):
+    def _severed_map(n=150, s=1.0):
         """Track a full orbit, then put the map into the kidnapped-sector
         state (severed + displaced old half). Returns everything the loop
-        pipeline needs plus the pre-displacement pose snapshot."""
-        cfg, m, lm, lc, tr = build_system()
+        pipeline needs plus the pre-displacement pose snapshot. ``s``:
+        similarity scale of the displacement (mono scale-drift scenario)."""
+        cfg, m, lm, lc, tr = build_system(cull=False)
         scene = RoomScene(3)
         poses = orbit_poses(n)
         for i, (R, t) in enumerate(poses):
@@ -260,7 +287,7 @@ class TestLoopClosing:
         kf_cut = m.n_kf // 2
         pre_R = m.kf_R[:m.n_kf].copy()
         pre_t = m.kf_t[:m.n_kf].copy()
-        sever_and_displace(m, tr, kf_cut, W_R, W_t)
+        sever_and_displace(m, tr, kf_cut, W_R, W_t, s=s)
         # reset ALL loop-closer state: the improved pipeline can close a
         # loop DURING the orbit (live revisit), and a stale n_loops_closed
         # would short-circuit the post-severance assertions
@@ -298,6 +325,75 @@ class TestLoopClosing:
         (instrumented: the trimmed Kabsch core agrees with GT to ~6 mm) and
         the corrected map must land on it."""
         run_severed_loop_check(n=150)
+
+    @staticmethod
+    def _sector_scale_ratio(m, pre_R, pre_t, lo, hi):
+        """Median ratio of consecutive-keyframe camera-center distances
+        (current map / pre-displacement map) over valid KFs in [lo, hi) —
+        the per-sector gauge scale relative to the as-tracked map."""
+        ks = [k for k in range(lo, hi) if m.kf_valid[k]]
+        r = []
+        for a, b in zip(ks[:-1], ks[1:]):
+            ca0 = -pre_R[a].T @ pre_t[a]
+            cb0 = -pre_R[b].T @ pre_t[b]
+            d0 = np.linalg.norm(ca0 - cb0)
+            if d0 < 1e-4:
+                continue
+            ca = -m.kf_R[a].T @ m.kf_t[a]
+            cb = -m.kf_R[b].T @ m.kf_t[b]
+            r.append(np.linalg.norm(ca - cb) / d0)
+        return float(np.median(r))
+
+    def test_mono_scale_drift_healed_by_sim3_graph(self):
+        """Monocular loop pipeline (fix_scale=False): the severed old
+        sector is displaced by a SIMILARITY with scale 1.3 — the scale
+        drift a monocular run accumulates, which no rigid correction can
+        heal. Detection → scaled Kabsch/Umeyama Sim3 → 7-dof essential
+        graph (optimize_pose_graph_sim3) must pull the sectors onto ONE
+        uniform gauge (OptimizeEssentialGraph fix_scale=false,
+        /root/reference/src/Optimizer.cc:1064-1399; mbFixScale wiring
+        LoopClosing.cc:37-43). GBA is off: reprojection BA over this
+        RGB-D-built map would re-impose the stored depths' metric scale,
+        which a real mono map does not have — the 7-dof graph is the
+        stage under test."""
+        import dataclasses as _dc
+
+        s = 1.3
+        cfg, m, lm, lc, tr, kf_cut, pre_R, pre_t = self._severed_map(
+            n=150, s=s)
+        lc.cfg = cfg.replace(loop=_dc.replace(cfg.loop, fix_scale=False))
+        lc.enable_gba = False
+        K0 = m.n_kf
+        r_old = self._sector_scale_ratio(m, pre_R, pre_t, 0, kf_cut)
+        r_new = self._sector_scale_ratio(m, pre_R, pre_t, kf_cut, K0)
+        tear0 = r_new / r_old
+        assert tear0 > 1.2, f"injection produced no scale tear ({tear0:.3f})"
+        k = max(q for q in range(m.n_kf) if m.kf_valid[q])
+        for _ in range(3):
+            lc.process_keyframe(k)
+            if lc.n_loops_closed:
+                break
+        assert lc.n_loops_closed >= 1, "mono loop closure never fired"
+        k1, k2 = lc.last_loop_pair
+        assert k2 < kf_cut <= k1, f"loop pair {k1},{k2} not cross-sector"
+        r_old2 = self._sector_scale_ratio(m, pre_R, pre_t, 0, kf_cut)
+        r_new2 = self._sector_scale_ratio(m, pre_R, pre_t, kf_cut, K0)
+        tear1 = r_new2 / r_old2
+        assert abs(np.log(tear1)) < np.log(1.08), (
+            f"7-dof graph did not heal the scale tear: "
+            f"{tear0:.3f} -> {tear1:.3f} (want ~1.0)")
+        # and the anchor-relative pose must land near truth like the rigid
+        # scenario (the healed gauge is the old sector's: compare in it)
+        fid = m.kf_frame_id[:K0]
+        poses = orbit_poses(150)
+        gt_R = np.stack([poses[int(f)][0] for f in fid])
+        gt_t = np.stack([poses[int(f)][1] for f in fid])
+        # relative translations in the healed (old-sector) gauge are the
+        # physical ones divided by s; _cross_sector_err is linear in t
+        err_after = self._cross_sector_err(
+            m.kf_R, m.kf_t * s, k2, k1, gt_R, gt_t)
+        assert err_after < 0.08, (
+            f"corrected anchor relative off truth by {err_after*100:.1f}cm")
 
 
 class TestTrajectoryHealing:

@@ -98,8 +98,11 @@ class TestSystem:
             g, d = scene.render(CAM, R, t)
             slam.track_rgbd(g, d, i / 30.0)
         out = tmp_path / "map.png"
-        viewer.draw_map(slam.map, slam.tracker.trajectory, str(out))
+        viewer.draw_map(slam.map, slam.tracker.trajectory, str(out),
+                        show_graph=True)
         assert out.exists() and out.stat().st_size > 1000
+        bar = viewer.status_text(slam.tracker, slam.map)
+        assert "KFs:" in bar and "MPs:" in bar
 
 
 def test_structured_tracing(tmp_path):
@@ -128,3 +131,15 @@ def test_structured_tracing(tmp_path):
     assert all({"frame", "state", "local_inliers", "n_kf"} <= set(r)
                for r in frames)
     assert any(r["kf"] for r in frames) or frames[-1]["n_kf"] >= 1
+
+
+def test_mono_system_uses_sim3_graph():
+    """System(sensor='mono') must run the 7-dof (Sim3) essential graph:
+    mbFixScale = sensor != MONOCULAR (/root/reference/src/LoopClosing.cc:
+    37-43); RGB-D keeps the fixed-scale SE3 graph."""
+    cfg = SlamConfig(camera=CAM)
+    slam = System(cfg, sensor="mono")
+    assert slam.cfg.loop.fix_scale is False
+    cfg2 = SlamConfig(camera=CAM)
+    slam2 = System(cfg2, sensor="rgbd")
+    assert slam2.cfg.loop.fix_scale is True
